@@ -1,0 +1,137 @@
+"""Configuration for PDFNet-TPU.
+
+Mirrors the reference flag surface (``lib/opts.py`` in zijinxuxu/PDFNet) as a
+typed dataclass.  Only the flags that are live in the published training
+recipe (``scripts/train.sh``) plus the documented alternates are kept; legacy
+detector-era flags are dropped.
+
+Reference: /root/reference/lib/opts.py:10-308.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Tuple
+
+
+@dataclasses.dataclass
+class Config:
+    # ---- experiment -------------------------------------------------------
+    task: str = "interact"            # opts.py:22 (live value from train.sh)
+    dataset: str = "H2O"              # H2O | H2O3D | RHD | InterHandNew
+    exp_id: str = "default"
+    mode: str = "train"               # train | val | test
+    seed: int = 317
+    load_model: str = ""
+    output_path: str = "outputs"
+
+    # ---- model ------------------------------------------------------------
+    arch: str = "resnet50"
+    default_resolution: int = 384     # input crop resolution
+    down_ratio: int = 4               # centernet output stride
+    num_classes: int = 2              # left/right center heatmap channels
+    heatmap_dim: int = 21             # per-hand keypoint heatmap channels
+    hand_num: int = 2
+    fmap_dim: int = 128               # hms/mask decoder feature width (load_encoder)
+    global_feature_dim: int = 256     # FPN fused feature width
+    pretrained_backbone: bool = False  # reference sets False when --depth
+
+    # ---- losses (live recipe) --------------------------------------------
+    reproj_loss: bool = True
+    bone_loss: bool = True
+    photometric_loss: bool = False
+    perceptual_loss: bool = False
+    brightness: bool = True
+    avg_center: bool = True
+    off: bool = False
+    center_weight: float = 200.0
+    reproj_weight: float = 1.0
+    joints_weight: float = 1.0
+    bone_dir_weight: float = 200.0
+    wh_weight: float = 20.0
+    num_stacks: int = 1
+    # Reproduce reference's GCN right-hand-uses-left-GT bug (simplified.py:463)
+    replicate_reference_quirks: bool = False
+
+    # ---- train ------------------------------------------------------------
+    lr: float = 1e-4
+    lr_step: Tuple[int, ...] = (30,)
+    num_epochs: int = 80
+    batch_size: int = 8
+    num_workers: int = 8
+    start_epoch: int = 0
+    optimizer: str = "Adam"
+    edge_loss_start_epoch: int = 20   # alpha gate in simplified.py:609
+
+    # ---- pointnet ---------------------------------------------------------
+    sample_num: int = 1024            # SAMPLE_NUM
+    input_feature_num: int = 3        # 3 (xyz) or 6 (xyz+normals)
+    knn_k: int = 64
+    sample_num_level1: int = 512
+    sample_num_level2: int = 128
+    ball_radius: float = 0.015        # squared radius, level 1
+    ball_radius2: float = 0.04        # squared radius, level 2
+    sample_strategy: str = "random"   # random | FPS
+
+    # ---- GCN decoder ------------------------------------------------------
+    deconv_dims: Tuple[int, ...] = (256, 256, 256, 256)
+    gcn_in_dim: Tuple[int, ...] = (512, 256, 128)
+    gcn_out_dim: Tuple[int, ...] = (256, 128, 64)
+    img_dims: Tuple[int, ...] = (256, 128, 64)
+    graph_k: int = 2
+    graph_layer_num: int = 4
+    num_attn_heads: int = 4
+    dropout: float = 0.05
+    use_img_attn: bool = False        # img_ex constructed but unused in ref fwd
+
+    # ---- data -------------------------------------------------------------
+    cache_path: str = "data"
+    pre_fix: str = "data"
+    max_objs: int = 2
+    mean: Tuple[float, float, float] = (0.485, 0.456, 0.406)
+    std: Tuple[float, float, float] = (0.229, 0.224, 0.225)
+
+    # ---- parallelism ------------------------------------------------------
+    data_axis: str = "data"           # mesh axis name for batch sharding
+    num_devices: int = 0              # 0 = use all available
+
+    # ---- precision --------------------------------------------------------
+    compute_dtype: str = "bfloat16"   # conv/matmul compute dtype on TPU
+    param_dtype: str = "float32"
+    mesh_dtype: str = "float32"       # mesh decoder path stays f32 for mm parity
+
+    @property
+    def input_res(self) -> int:
+        return self.default_resolution
+
+    @property
+    def size_train(self) -> Tuple[int, int]:
+        return (self.default_resolution, self.default_resolution)
+
+    @property
+    def output_res(self) -> int:
+        return self.default_resolution // self.down_ratio
+
+    @property
+    def heads(self) -> Dict[str, int]:
+        """CenterNet head dict (opts.update_dataset_info_and_set_heads)."""
+        heads = {"hm": 2, "wh": 2}
+        if self.reproj_loss:
+            heads["params"] = 61 * 2
+        if self.photometric_loss:
+            heads["texture"] = 778 * 3
+            heads["light"] = 27
+        if self.off:
+            heads["off_hm"] = 2
+            heads["off_lms"] = 21 * 2
+        return heads
+
+    def replace(self, **kw) -> "Config":
+        return dataclasses.replace(self, **kw)
+
+
+def eval_config(**kw) -> Config:
+    """Config preset matching scripts/eval.sh (batch 1, test mode)."""
+    base = dict(mode="test", batch_size=1)
+    base.update(kw)
+    return Config(**base)
