@@ -1,0 +1,108 @@
+"""PointNet++ set-abstraction grouping: fused kNN + ball query + gather.
+
+This is the hottest custom op in the pipeline (reference:
+lib/utils/utils.py:134-188, O(B*512*1024) brute-force distance matrix,
+topk, python-loop ball query).  Here it is a single fused XLA computation:
+
+  1. pairwise squared distances centers x points (one MXU matmul via the
+     |c|^2 + |p|^2 - 2 c.p expansion),
+  2. top-k smallest (lax.top_k on negated distances),
+  3. ball query: any neighbor beyond ``radius2`` (squared radius) is replaced
+     by the center itself (reference semantics: its features collapse to the
+     center's features and its centered xyz to zero),
+  4. gather + center-subtract.
+
+Layout is channel-last (B, S, K, C) — natural for TPU (C maps to lanes) —
+whereas the reference emits (B, C, S, K).
+
+The downstream per-point MLP + max-pool is permutation-invariant along K, so
+neighbor order (ties/sort order of top-k) does not affect the model.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def _pairwise_sqdist(centers: jax.Array, points: jax.Array) -> jax.Array:
+    """(B, S, 3), (B, N, 3) -> (B, S, N) squared euclidean distances.
+
+    Uses the direct diff-square-sum form: with only 3 coordinate channels the
+    matmul expansion saves nothing, and the direct form is exact (no
+    catastrophic cancellation), which matters because the ball-query radius
+    test must match the reference bit-for-bit on typical inputs.
+    """
+    diff = centers[:, :, None, :] - points[:, None, :, :]
+    return jnp.sum(diff * diff, axis=-1)
+
+
+def knn_ball_query(
+    centers_xyz: jax.Array,
+    points_xyz: jax.Array,
+    k: int,
+    radius2: float,
+) -> Tuple[jax.Array, jax.Array]:
+    """Indices of the k nearest points per center, ball-query-substituted.
+
+    Returns:
+      idx: (B, S, K) int32 point indices; out-of-ball neighbors are replaced
+        by the center's own index (center i == point i by construction).
+      valid: (B, S, K) bool, False where the substitution happened.
+    """
+    S = centers_xyz.shape[1]
+    d2 = _pairwise_sqdist(centers_xyz, points_xyz)          # (B, S, N)
+    neg_dist, idx = jax.lax.top_k(-d2, k)                   # ascending distance
+    dist = -neg_dist
+    valid = dist <= radius2
+    center_idx = jnp.arange(S, dtype=idx.dtype)[None, :, None]
+    idx = jnp.where(valid, idx, center_idx)
+    return idx.astype(jnp.int32), valid
+
+
+def group_points(
+    points: jax.Array,
+    k: int = 64,
+    num_centers: int = 512,
+    radius2: float = 0.015,
+) -> Tuple[jax.Array, jax.Array]:
+    """Level-1 grouping.  points: (B, N, C) with xyz in the first 3 channels.
+
+    The first ``num_centers`` points act as group centers (the sampler
+    shuffles points upstream, making this a uniform random subset — or an
+    FPS-ordered prefix under the FPS strategy).
+
+    Returns:
+      grouped: (B, S, K, C) neighbor features, xyz channels center-relative.
+      centers: (B, S, 3) center coordinates.
+    """
+    centers = points[:, :num_centers, :3]
+    idx, _ = knn_ball_query(centers, points[..., :3], k, radius2)
+    grouped = jnp.take_along_axis(
+        points[:, :, None, :], idx[..., None], axis=1)       # (B, S, K, C)
+    grouped = grouped.at[..., :3].add(-centers[:, :, None, :])
+    return grouped, centers
+
+
+def group_points_level2(
+    feat: jax.Array,
+    num_centers: int = 128,
+    k: int = 64,
+    radius2: float = 0.04,
+) -> Tuple[jax.Array, jax.Array]:
+    """Level-2 grouping over already-abstracted points.
+
+    Args:
+      feat: (B, S1, C) with xyz in the first 3 channels (C = 3 + features).
+
+    Returns:
+      grouped: (B, S2, K, C), xyz channels center-relative.
+      centers: (B, S2, 3).
+    """
+    centers = feat[:, :num_centers, :3]
+    idx, _ = knn_ball_query(centers, feat[..., :3], k, radius2)
+    grouped = jnp.take_along_axis(feat[:, :, None, :], idx[..., None], axis=1)
+    grouped = grouped.at[..., :3].add(-centers[:, :, None, :])
+    return grouped, centers
