@@ -1,0 +1,88 @@
+"""Throughput benchmark: batched RGB-D inference frames/sec/chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Baseline: the driver north-star of 500 RGB-D frames/sec/chip on v5e
+(the reference publishes no throughput numbers).
+"""
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+BASELINE_FPS = 500.0
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=32)
+    ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--warmup", type=int, default=3)
+    ap.add_argument("--res", type=int, default=384)
+    args = ap.parse_args()
+
+    import jax
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import jax.numpy as jnp
+    from pdfnet_tpu.config import Config
+    from pdfnet_tpu.models import build_model
+    from pdfnet_tpu.train.loss import load_loss_consts
+    from pdfnet_tpu.train.step import make_eval_step
+
+    cfg = Config(default_resolution=args.res, batch_size=args.batch,
+                 compute_dtype="bfloat16")
+    model = build_model(cfg)
+    consts = load_loss_consts()
+
+    rng = np.random.RandomState(0)
+    B, res, n = args.batch, args.res, cfg.sample_num
+    batch = {
+        "input": rng.randn(B, res, res, 3).astype(np.float32),
+        "choose": rng.randint(0, res * res, (B, 2, n)).astype(np.int32),
+        "cloud": rng.uniform(-0.1, 0.1, (B, 2, n, 3)).astype(np.float32),
+        "depth": rng.uniform(0.3, 0.8, (B, res, res)).astype(np.float32),
+        "K_new": np.tile(np.array([[[480.0, 0, res / 2], [0, 480.0, res / 2],
+                                    [0, 0, 1]]], np.float32), (B, 1, 1)),
+        "valid": np.ones((B, 2), np.float32),
+        "lms_left_gt": np.zeros((B, 21, 2), np.float32),
+        "lms_right_gt": np.zeros((B, 21, 2), np.float32),
+    }
+
+    # Initialize on CPU (fast local compile), then ship params to the chip.
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        init_b = {k: v[:1] for k, v in batch.items()}
+        variables = model.init(
+            {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+            init_b["input"], init_b["choose"], init_b["cloud"],
+            init_b["depth"], None, init_b["K_new"], init_b["valid"],
+            train=False)
+    dev = jax.devices()[0]
+    variables = jax.device_put(variables, dev)
+
+    ev = make_eval_step(cfg, model, consts)
+    jb = {k: jnp.asarray(v) for k, v in batch.items()}
+
+    for _ in range(args.warmup):
+        out = ev(variables["params"], variables.get("batch_stats", {}), jb)
+    jax.block_until_ready(out)
+
+    t0 = time.perf_counter()
+    for _ in range(args.iters):
+        out = ev(variables["params"], variables.get("batch_stats", {}), jb)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+
+    fps = args.batch * args.iters / dt
+    print(json.dumps({
+        "metric": "rgbd_inference_frames_per_sec_per_chip",
+        "value": round(fps, 2),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / BASELINE_FPS, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

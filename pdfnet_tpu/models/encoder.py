@@ -1,0 +1,154 @@
+"""Image encoder: ResNet-50 FPN + CenterNet heads + hms/mask decoders +
+center-feature conditioning + PointNet++ fusion.
+
+Reference: ResNetSimple (intaghand_encoder.py:567-819) and resnet_mid
+(:822-882).  Channel-last / NHWC throughout.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from pdfnet_tpu.models.layers import (CenterHead, ConvActBN, L2Norm,
+                                      PyramidDecoder, SFTLayer)
+from pdfnet_tpu.models.pointnet import PointNetPlus
+from pdfnet_tpu.models.resnet import ResNet
+from pdfnet_tpu.ops.gather import gather_pixels
+from pdfnet_tpu.ops.heatmap import clamped_sigmoid, decode_centers
+from pdfnet_tpu.ops.resize import resize_bilinear_align_corners
+
+Dtype = Any
+
+
+class FPNEncoder(nn.Module):
+    """Trunk + FPN + heads.  See class docstring for the tensor flow."""
+
+    heads: Dict[str, int]             # e.g. {"hm": 2, "wh": 2, "params": 122}
+    fmap_dim: int = 128               # hms/mask decoder width
+    global_feature_dim: int = 256     # fused FPN width
+    heatmap_dim: int = 21
+    hand_num: int = 2
+    resolution: int = 384
+    knn_k: int = 64
+    num_level1: int = 512
+    num_level2: int = 128
+    ball_radius: float = 0.015
+    ball_radius2: float = 0.04
+    input_feature_num: int = 3
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        img: jax.Array,                     # (B, H, W, 3) normalized
+        cloud: jax.Array,                   # (B, 2, N, F)
+        choose: jax.Array,                  # (B, 2, N) flat pixel idx
+        ind: Optional[jax.Array],           # (B, 2) center idx or None (test)
+        train: bool,
+    ):
+        gd = self.global_feature_dim
+        B = img.shape[0]
+        norm = lambda name: nn.BatchNorm(use_running_average=not train,
+                                         momentum=0.9, epsilon=1e-5,
+                                         dtype=jnp.float32, name=name)
+
+        # Point-wise embedding level 0: full-res 3-ch conv.
+        pw_l0 = nn.relu(nn.Conv(3, (3, 3), padding=[(1, 1)] * 2, use_bias=False,
+                                dtype=self.dtype, name="e_conv1")(img))
+
+        stem, x4, x3, x2, x1 = ResNet(dtype=self.dtype, name="resnet")(img, train)
+        pw_l1 = stem                       # (B, H/2, W/2, 64)
+
+        # FPN: project each stage to gd channels at H/4 (96 for 384 input).
+        h4 = x4.shape[1]
+        p2 = nn.Conv(gd, (3, 3), padding=[(1, 1)] * 2, dtype=self.dtype,
+                     name="p2")(x4)
+        p3 = nn.ConvTranspose(gd, (4, 4), strides=(2, 2), padding="SAME",
+                              dtype=self.dtype, name="p3")(x3)
+        p4 = nn.ConvTranspose(gd, (4, 4), strides=(4, 4), padding="VALID",
+                              dtype=self.dtype, name="p4")(x2)
+        p5 = nn.ConvTranspose(gd, (8, 8), strides=(8, 8), padding="VALID",
+                              dtype=self.dtype, name="p5")(x1)
+        p2 = L2Norm(name="p2_l2")(p2)
+        p3 = L2Norm(name="p3_l2")(p3)
+        p4 = L2Norm(name="p4_l2")(p4)
+        p5 = L2Norm(name="p5_l2")(p5)
+
+        cat = jnp.concatenate([p2, p3, p4, p5], axis=-1)
+        feat = nn.Conv(gd, (3, 3), padding=[(1, 1)] * 2, use_bias=False,
+                       dtype=self.dtype, name="feat")(cat)
+        x0 = nn.relu(norm("feat_bn")(feat))                  # (B, 96, 96, 256)
+        pw_l2 = x0
+        pw_emb = [pw_l0, pw_l1, pw_l2]
+
+        # CenterNet heads over x0.
+        ret = {}
+        for head, out_dim in sorted(self.heads.items()):
+            bias = -4.59 if ("hm" in head or "heatmap" in head or
+                             "handmap" in head) else 0.0
+            ret[head] = CenterHead(out_dim, bias_init_value=bias,
+                                   dtype=self.dtype, name=f"head_{head}")(x0)
+
+        # Test-time center decode from the predicted heatmap.
+        if ind is None:
+            ind = decode_centers(clamped_sigmoid(
+                jax.lax.stop_gradient(ret["hm"])))
+
+        # Keypoint-heatmap and mask decoders from the 12x12 trunk feature.
+        hms, hms_fmaps = PyramidDecoder(
+            self.fmap_dim, self.heatmap_dim * self.hand_num, up_scale=False,
+            dtype=self.dtype, name="hms_decoder")(x1, train)
+        mask_out, dp_fmaps = PyramidDecoder(
+            self.fmap_dim, self.hand_num, up_scale=True,
+            dtype=self.dtype, name="dp_decoder")(x1, train)
+        mask = mask_out                                      # (B, 384, 384, 2)
+
+        # Center features: x0 -> 512 -> 1024, gathered at hand centers.
+        up0 = nn.Conv(512, (3, 3), padding=[(1, 1)] * 2, use_bias=False,
+                      dtype=self.dtype, name="center_up0")(x0)
+        up1 = nn.Conv(1024, (3, 3), padding=[(1, 1)] * 2, use_bias=False,
+                      dtype=self.dtype, name="center_up1")(up0)
+        center_feat = gather_pixels(up1, ind)                # (B, 2, 1024)
+
+        # PointNet++ per hand with pyramid SFT fusion (shared weights).
+        pointnet = PointNetPlus(
+            knn_k=self.knn_k, num_level1=self.num_level1,
+            num_level2=self.num_level2, ball_radius=self.ball_radius,
+            ball_radius2=self.ball_radius2,
+            input_feature_num=self.input_feature_num,
+            resolution=self.resolution, dtype=self.dtype, name="pointnet")
+        fuse_left = pointnet(cloud[:, 0], pw_emb, choose[:, 0], train)
+        fuse_right = pointnet(cloud[:, 1], pw_emb, choose[:, 1], train)
+        fuse = jnp.concatenate([fuse_left, fuse_right], axis=1)  # (B, 2, 1024)
+
+        # SFT-condition the per-hand global point features on center features.
+        fuse = SFTLayer(1024, 1024, self.dtype, name="sft")(fuse, center_feat)
+
+        img_fmaps = [fuse, x2, x3, x4]
+        return hms, mask, ret, ind, img_fmaps, hms_fmaps, dp_fmaps, pw_emb
+
+
+class MidFusion(nn.Module):
+    """Fuse hms/mask decoder pyramids (+ trunk stages) into decoder fmaps and
+    split the fused point feature into per-hand global features."""
+
+    out_dims: Tuple[int, ...] = (256, 256, 256, 256)
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, img_fmaps: List[jax.Array], hms_fmaps: List[jax.Array],
+                 dp_fmaps: List[jax.Array], train: bool):
+        gf_left = img_fmaps[0][:, 0, :]                      # (B, 1024)
+        gf_right = img_fmaps[0][:, 1, :]
+        fmaps = []
+        for i, out_dim in enumerate(self.out_dims):
+            x = jnp.concatenate([hms_fmaps[i], dp_fmaps[i]], axis=-1)
+            if i > 0:
+                x = jnp.concatenate([x, img_fmaps[i]], axis=-1)
+            fmaps.append(ConvActBN(out_dim, kernel=1, dtype=self.dtype,
+                                   name=f"conv{i}")(x, train))
+        return gf_left, gf_right, fmaps

@@ -1,0 +1,151 @@
+"""Shared building blocks: SFT conditioning, L2Norm, conv blocks, decoders.
+
+References:
+- SFTLayer:               intaghand_encoder.py:205-219
+- L2Norm:                 intaghand_encoder.py:318-334
+- conv1x1 (conv-act-bn):  intaghand_encoder.py:192-198
+- ResNetSimple_decoder:   intaghand_encoder.py:270-316
+"""
+
+from __future__ import annotations
+
+from typing import Any, List, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from pdfnet_tpu.ops.resize import resize_bilinear_align_corners
+
+Dtype = Any
+
+
+class SFTLayer(nn.Module):
+    """Spatial feature transform: fea * (scale(cond) + 1) + shift(cond).
+
+    Operates on (B, N, C) token layout (the reference's 1x1 convs over a
+    singleton spatial dim are plain per-token Dense layers).
+    """
+
+    cond_dim: int
+    fea_dim: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, fea: jax.Array, cond: jax.Array) -> jax.Array:
+        d = lambda f, name: nn.Dense(f, dtype=self.dtype, name=name)
+        scale = d(self.fea_dim, "scale1")(
+            nn.leaky_relu(d(self.cond_dim, "scale0")(cond), 0.1))
+        shift = d(self.fea_dim, "shift1")(
+            nn.leaky_relu(d(self.cond_dim, "shift0")(cond), 0.1))
+        return fea * (scale + 1.0) + shift
+
+
+class L2Norm(nn.Module):
+    """Per-pixel channel L2 normalization with a learned per-channel gain."""
+
+    scale_init: float = 10.0
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        gamma = self.param("weight", nn.initializers.constant(self.scale_init),
+                           (x.shape[-1],))
+        norm = jnp.sqrt(jnp.sum(x * x, axis=-1, keepdims=True)) + 1e-10
+        return x / norm * gamma
+
+
+class ConvActBN(nn.Module):
+    """conv -> activation -> batchnorm (reference's conv1x1 block order)."""
+
+    features: int
+    kernel: int = 1
+    stride: int = 1
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        k = self.kernel
+        y = nn.Conv(self.features, (k, k), strides=(self.stride,) * 2,
+                    padding=[(k // 2, k // 2)] * 2, use_bias=False,
+                    dtype=self.dtype, name="conv")(x)
+        y = nn.relu(y)
+        return nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                            epsilon=1e-5, dtype=jnp.float32, name="bn")(y)
+
+
+class PyramidDecoder(nn.Module):
+    """Upsampling decoder from the 12x12 trunk feature.
+
+    Four stages (flat, up, up, up) each conv->relu->bn, collecting the
+    intermediate feature maps; final 1x1 head, optionally with an extra
+    2x-up / head / 2x-up to reach full input resolution (the mask path).
+    """
+
+    fdim: int = 128
+    out_dim: int = 42
+    up_scale: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool) -> Tuple[jax.Array, List[jax.Array]]:
+        fmaps = []
+        directions = ("flat", "up", "up", "up")
+        for i, d in enumerate(directions):
+            if d == "up":
+                B, H, W, C = x.shape
+                x = resize_bilinear_align_corners(x, H * 2, W * 2)
+            k = 1 if d == "flat" else 3
+            x = nn.Conv(self.fdim, (k, k), padding=[(k // 2, k // 2)] * 2,
+                        use_bias=False, dtype=self.dtype, name=f"stage{i}")(x)
+            x = nn.relu(x)
+            x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                             epsilon=1e-5, dtype=jnp.float32, name=f"bn{i}")(x)
+            fmaps.append(x)
+        if self.up_scale:
+            B, H, W, C = x.shape
+            y = resize_bilinear_align_corners(x, H * 2, W * 2)
+            y = nn.Conv(self.out_dim, (1, 1), dtype=self.dtype, name="head")(y)
+            y = resize_bilinear_align_corners(y, H * 4, W * 4)
+        else:
+            y = nn.Conv(self.out_dim, (1, 1), dtype=self.dtype, name="head")(x)
+        return y, fmaps
+
+
+class CenterHead(nn.Module):
+    """Per-task head over the fused FPN feature: 3x3 conv + relu + 1x1 conv.
+
+    ``bias_init_value`` seeds the final bias (-4.59 for heatmap heads).
+    """
+
+    out_dim: int
+    mid_dim: int = 256
+    bias_init_value: float = 0.0
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        y = nn.Conv(self.mid_dim, (3, 3), padding=[(1, 1), (1, 1)],
+                    use_bias=True, dtype=self.dtype, name="conv0")(x)
+        y = nn.relu(y)
+        y = nn.Conv(self.out_dim, (1, 1), use_bias=True, dtype=self.dtype,
+                    bias_init=nn.initializers.constant(self.bias_init_value),
+                    name="conv1")(y)
+        return y
+
+
+class MLPResBlock(nn.Module):
+    """LayerNorm -> fc -> relu -> fc residual block (self_attn.py:18-34)."""
+
+    hid_dim: int
+    dropout: float = 0.1
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        in_dim = x.shape[-1]
+        y = nn.LayerNorm(epsilon=1e-6, name="ln")(x)
+        y = nn.relu(nn.Dense(self.hid_dim, dtype=self.dtype, name="fc1")(y))
+        y = nn.Dropout(self.dropout, deterministic=not train)(y)
+        y = nn.Dense(in_dim, dtype=self.dtype, name="fc2")(y)
+        y = nn.Dropout(self.dropout, deterministic=not train)(y)
+        return x + y

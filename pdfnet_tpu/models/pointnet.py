@@ -1,0 +1,98 @@
+"""PointNet++ set-abstraction stack with pyramid SFT image fusion.
+
+Reference: PointNet_Plus (intaghand_encoder.py:32-159).  Three abstraction
+levels over 1024 points/hand; at each level the point features are
+SFT-conditioned on RGB features gathered at the points' pixel locations in
+the matching pyramid level (the "pyramid deep fusion").
+
+Channel-last throughout; the per-point MLPs are Dense layers fused by XLA,
+the K/S reductions are max-pools on the VPU, and the grouping op is the
+fused kNN+ball-query kernel from ``pdfnet_tpu.ops``.
+"""
+
+from __future__ import annotations
+
+from typing import Any, List, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from pdfnet_tpu.models.layers import SFTLayer
+from pdfnet_tpu.ops.gather import gather_pixels
+from pdfnet_tpu.ops.grouping import group_points, group_points_level2
+
+Dtype = Any
+
+LEVEL1_MLP = (64, 64, 128)
+LEVEL2_MLP = (128, 128, 256)
+LEVEL3_MLP = (512, 512, 1024)
+
+
+class PointMLP(nn.Module):
+    """Per-point MLP: (Dense -> BatchNorm -> relu) x len(features)."""
+
+    features: Sequence[int]
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        for i, f in enumerate(self.features):
+            x = nn.Dense(f, dtype=self.dtype, name=f"fc{i}")(x)
+            x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                             epsilon=1e-5, dtype=jnp.float32, name=f"bn{i}")(x)
+            x = nn.relu(x)
+        return x
+
+
+class PointNetPlus(nn.Module):
+    """points (B, N, F_in), pyramid emb, choose (B, N) -> (B, 1, 1024)."""
+
+    knn_k: int = 64
+    num_level1: int = 512
+    num_level2: int = 128
+    ball_radius: float = 0.015
+    ball_radius2: float = 0.04
+    input_feature_num: int = 3
+    resolution: int = 384
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, points: jax.Array, emb: List[jax.Array],
+                 choose: jax.Array, train: bool) -> jax.Array:
+        res = self.resolution
+
+        # Level 0 fusion: condition raw xyz on full-res RGB features.
+        pw_l0 = gather_pixels(emb[0], choose)                       # (B, N, 3)
+        points = SFTLayer(3, self.input_feature_num, self.dtype,
+                          name="sft0")(points, pw_l0)
+
+        grouped, centers = group_points(
+            points, k=self.knn_k, num_centers=self.num_level1,
+            radius2=self.ball_radius)
+
+        # Pyramid pixel indices at 1/2 and 1/4 resolution (integer row/col
+        # halving of the flat index; intaghand_encoder.py:125-128).
+        c_half = (choose // res // 2) * (res // 2) + choose % res // 2
+        c_quart = (choose // res // 4) * (res // 4) + choose % res // 4
+        pw_l1 = gather_pixels(emb[1], c_half[:, :self.num_level1])  # (B,512,64)
+        pw_l2 = gather_pixels(emb[2], c_quart[:, :self.num_level2])  # (B,128,256)
+
+        x = PointMLP(LEVEL1_MLP, self.dtype, name="mlp1")(grouped, train)
+        x = jnp.max(x, axis=2)                                      # (B,512,128)
+        x = jnp.concatenate([centers, x], axis=-1)                  # (B,512,131)
+        x = SFTLayer(emb[1].shape[-1], x.shape[-1], self.dtype,
+                     name="sft1")(x, pw_l1)
+
+        grouped2, centers2 = group_points_level2(
+            x, num_centers=self.num_level2, k=self.knn_k,
+            radius2=self.ball_radius2)
+        x = PointMLP(LEVEL2_MLP, self.dtype, name="mlp2")(grouped2, train)
+        x = jnp.max(x, axis=2)                                      # (B,128,256)
+        x = jnp.concatenate([centers2, x], axis=-1)                 # (B,128,259)
+        x = SFTLayer(emb[2].shape[-1], x.shape[-1], self.dtype,
+                     name="sft2")(x, pw_l2)
+
+        x = PointMLP(LEVEL3_MLP, self.dtype, name="mlp3")(x, train)
+        x = jnp.max(x, axis=1, keepdims=True)                       # (B,1,1024)
+        return x

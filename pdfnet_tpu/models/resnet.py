@@ -1,0 +1,77 @@
+"""ResNet backbone (flax linen, NHWC).
+
+Functional equivalent of the torchvision ResNet-50 trunk the reference
+encoder taps (intaghand_encoder.py:712-729): returns the post-stem feature
+(before maxpool) plus the four stage outputs.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+Dtype = Any
+
+
+class Bottleneck(nn.Module):
+    width: int
+    stride: int = 1
+    project: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        norm = lambda name: nn.BatchNorm(
+            use_running_average=not train, momentum=0.9, epsilon=1e-5,
+            dtype=jnp.float32, name=name)
+        conv = lambda f, k, s, name: nn.Conv(
+            f, (k, k), strides=(s, s), padding=[(k // 2, k // 2)] * 2,
+            use_bias=False, dtype=self.dtype, name=name)
+
+        out_ch = self.width * 4
+        shortcut = x
+        if self.project:
+            shortcut = conv(out_ch, 1, self.stride, "proj_conv")(x)
+            shortcut = norm("proj_bn")(shortcut)
+        y = nn.relu(norm("bn1")(conv(self.width, 1, 1, "conv1")(x)))
+        y = nn.relu(norm("bn2")(conv(self.width, 3, self.stride, "conv2")(y)))
+        y = norm("bn3")(conv(out_ch, 1, 1, "conv3")(y))
+        return nn.relu(y + shortcut)
+
+
+class ResNet(nn.Module):
+    """ResNet-v1 with bottleneck blocks (50/101/152 layouts)."""
+
+    stage_sizes: Sequence[int] = (3, 4, 6, 3)
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool) -> Tuple[jax.Array, ...]:
+        stem = nn.Conv(64, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)],
+                       use_bias=False, dtype=self.dtype, name="conv1")(x)
+        stem = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                            epsilon=1e-5, dtype=jnp.float32, name="bn1")(stem)
+        stem = nn.relu(stem)                                  # (B, H/2, W/2, 64)
+
+        y = nn.max_pool(stem, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
+        outs = []
+        widths = (64, 128, 256, 512)
+        for i, (n_blocks, w) in enumerate(zip(self.stage_sizes, widths)):
+            for b in range(n_blocks):
+                stride = 2 if (b == 0 and i > 0) else 1
+                y = Bottleneck(width=w, stride=stride, project=(b == 0),
+                               dtype=self.dtype, name=f"layer{i + 1}_{b}")(y, train)
+            outs.append(y)
+        # stem (pre-maxpool), layer1..layer4
+        return (stem, *outs)
+
+
+def resnet50(dtype=jnp.float32) -> ResNet:
+    return ResNet(stage_sizes=(3, 4, 6, 3), dtype=dtype)
+
+
+def resnet101(dtype=jnp.float32) -> ResNet:
+    return ResNet(stage_sizes=(3, 4, 23, 3), dtype=dtype)

@@ -1,0 +1,96 @@
+"""Depth map -> fixed-size per-hand point clouds, fully jittable.
+
+Reference behavior (depth2pcl, intaghand_encoder.py:369-491 and the training
+variant interhand.py:758-905): mask the depth with the per-hand segmentation,
+clip to [0.2, 2.5] m, band-filter around the mean hand depth (+-0.08 m),
+then sample exactly ``num_points`` pixels (random subset when too many,
+wrap-padded when too few, all-zero when the hand is invalid or nearly empty).
+
+The reference does this on CPU with numpy + data-dependent shapes.  Here it
+is a fixed-shape masked computation: random priorities + top-k give the
+random subset, index arithmetic gives the wrap padding — so it runs inside
+jit on device and batches.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from pdfnet_tpu.ops.geometry import backproject_depth, depth_normals
+
+Z_MIN, Z_MAX = 0.2, 2.5
+BAND = 0.08
+MIN_PIXELS = 10
+
+
+def _sample_one_hand(depth_masked: jax.Array, xyz_flat: jax.Array,
+                     key: jax.Array, num_points: int,
+                     normals_flat: Optional[jax.Array] = None,
+                     min_pixels: int = MIN_PIXELS):
+    """depth_masked: (HW,) masked metric depth; xyz_flat: (HW, 3)."""
+    z = depth_masked
+    nonzero = z != 0.0
+    n_nonzero = nonzero.sum()
+    mean = jnp.where(n_nonzero > 0, jnp.sum(z * nonzero) / jnp.maximum(n_nonzero, 1), 0.0)
+    min_dis = jnp.maximum(Z_MIN, mean - BAND)
+    max_dis = jnp.minimum(Z_MAX, mean + BAND)
+    sel = (z > min_dis) & (z < max_dis)
+    n_valid = sel.sum()
+
+    # Random priorities over selected pixels; top-k = uniform random subset.
+    pri = jax.random.uniform(key, z.shape) + sel.astype(jnp.float32) * 2.0
+    _, order = jax.lax.top_k(pri, num_points)               # selected first
+    pos = jnp.arange(num_points)
+    wrapped = jnp.where(pos < n_valid, pos, pos % jnp.maximum(n_valid, 1))
+    choose = order[wrapped]
+
+    ok = (n_valid >= min_pixels)
+    choose = jnp.where(ok, choose, 0).astype(jnp.int32)
+    cloud = jnp.where(ok, xyz_flat[choose], 0.0)
+    if normals_flat is not None:
+        nrm = jnp.where(ok, normals_flat[choose], 0.0)
+        cloud = jnp.concatenate([cloud, nrm], axis=-1)
+    return choose, cloud, ok
+
+
+def depth_to_hand_clouds(
+    depth: jax.Array,          # (B, H, W) metric depth
+    mask: jax.Array,           # (B, H, W, 2) per-hand masks (prob or binary)
+    K: jax.Array,              # (B, 3, 3) intrinsics
+    valid: jax.Array,          # (B, 2) hand validity
+    key: jax.Array,
+    num_points: int = 1024,
+    with_normals: bool = False,
+    min_pixels: int = MIN_PIXELS,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Returns (choose (B, 2, N) int32, cloud (B, 2, N, 3|6), ok (B, 2))."""
+    B, H, W = depth.shape
+    band = ((depth > Z_MIN) & (depth < Z_MAX)).astype(depth.dtype)
+    depth_b = depth * band
+    hard_mask = (mask > 0.5).astype(depth.dtype)
+
+    K_inv = jnp.linalg.inv(K)
+    keys = jax.random.split(key, B * 2).reshape(B, 2, 2)
+
+    def per_sample(d, m, ki, kk, v):
+        out_c, out_p, out_ok = [], [], []
+        for h in range(2):
+            dm = d * m[..., h]
+            xyz = backproject_depth(dm, ki)                  # (H, W, 3)
+            nrm_flat = None
+            if with_normals:
+                nrm_flat = depth_normals(xyz).reshape(-1, 3)
+            c, p, ok = _sample_one_hand(
+                dm.reshape(-1), xyz.reshape(-1, 3), kk[h], num_points,
+                nrm_flat, min_pixels)
+            ok = ok & (v[h] > 0)
+            out_c.append(jnp.where(ok, c, 0))
+            out_p.append(jnp.where(ok, p, 0.0))
+            out_ok.append(ok)
+        return (jnp.stack(out_c), jnp.stack(out_p), jnp.stack(out_ok))
+
+    choose, cloud, ok = jax.vmap(per_sample)(depth_b, hard_mask, K_inv, keys, valid)
+    return choose, cloud, ok

@@ -1,0 +1,93 @@
+"""Checkpoint save / restore (orbax) with tolerant partial restore.
+
+Mirrors the reference semantics (lib/utils/utils.py:37-119): checkpoints
+carry {epoch, params, batch_stats, opt_state}; restore skips shape-mismatched
+entries with a warning instead of failing, and can resume the optimizer with
+the LR fast-forwarded through the step schedule.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+from pdfnet_tpu.train.step import TrainState
+
+
+def save_checkpoint(ckpt_dir: str, state: TrainState, epoch: int,
+                    keep: int = 10) -> str:
+    ckpt_dir = os.path.abspath(ckpt_dir)
+    os.makedirs(ckpt_dir, exist_ok=True)
+    path = os.path.join(ckpt_dir, f"model_{epoch}")
+    ckptr = ocp.StandardCheckpointer()
+    payload = {"params": state.params, "batch_stats": state.batch_stats,
+               "opt_state": state.opt_state,
+               "step": np.asarray(state.step), "epoch": np.asarray(epoch)}
+    ckptr.save(path, payload, force=True)
+    ckptr.wait_until_finished()
+    return path
+
+
+def _tolerant_merge(target: Any, loaded: Any, prefix: str = "") -> Any:
+    """Replace target leaves with loaded leaves where paths + shapes match."""
+    t_paths, treedef = jax.tree_util.tree_flatten_with_path(target)
+    l_paths, _ = jax.tree_util.tree_flatten_with_path(loaded)
+    loaded_map = {jax.tree_util.keystr(p): v for p, v in l_paths}
+    out = []
+    for path, val in t_paths:
+        key = jax.tree_util.keystr(path)
+        if key in loaded_map:
+            lv = loaded_map[key]
+            if getattr(lv, "shape", None) == getattr(val, "shape", None):
+                out.append(lv)
+                continue
+            print(f"checkpoint: skip {key}: shape "
+                  f"{getattr(lv, 'shape', None)} != {getattr(val, 'shape', None)}")
+        else:
+            print(f"checkpoint: missing {key}, keeping init")
+        out.append(val)
+    return jax.tree_util.tree_unflatten(treedef, out)
+
+
+def load_checkpoint(path: str, state: TrainState,
+                    resume_optimizer: bool = True) -> Tuple[TrainState, int]:
+    """Restore into an existing state; returns (state, start_epoch)."""
+    path = os.path.abspath(path)
+    ckptr = ocp.StandardCheckpointer()
+    template = {"params": state.params, "batch_stats": state.batch_stats,
+                "opt_state": state.opt_state,
+                "step": np.asarray(state.step), "epoch": np.zeros((), np.int64)}
+    try:
+        loaded = ckptr.restore(path, template)
+    except Exception:
+        # Shape drift: restore raw and merge tolerantly.
+        loaded = ckptr.restore(path)
+    params = _tolerant_merge(state.params, loaded.get("params", {}))
+    batch_stats = _tolerant_merge(state.batch_stats,
+                                  loaded.get("batch_stats", {}))
+    opt_state = state.opt_state
+    step = state.step
+    if resume_optimizer and "opt_state" in loaded:
+        try:
+            opt_state = jax.tree.map(lambda a, b: b, state.opt_state,
+                                     loaded["opt_state"])
+            step = loaded.get("step", state.step)
+        except Exception:
+            print("checkpoint: optimizer state incompatible, reinitialized")
+    epoch = int(np.asarray(loaded.get("epoch", 0)))
+    return TrainState(params=params, batch_stats=batch_stats,
+                      opt_state=opt_state, step=step), epoch
+
+
+def latest_checkpoint(ckpt_dir: str) -> Optional[str]:
+    if not os.path.isdir(ckpt_dir):
+        return None
+    cands = [d for d in os.listdir(ckpt_dir) if d.startswith("model_")]
+    if not cands:
+        return None
+    best = max(cands, key=lambda d: int(d.split("_")[-1]))
+    return os.path.join(ckpt_dir, best)

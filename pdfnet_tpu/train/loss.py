@@ -1,0 +1,346 @@
+"""Training loss: the live H2O/interact branch of the reference CtdetLoss.
+
+Reference: lib/trains/simplified.py:364-655 (term definitions) and :608-650
+(weights).  Pure function of (model outputs, batch, epoch); per-sample
+vector terms are kept as (B,) until the final mean so hard-example mining
+stays possible.
+
+Layout conventions (channel-last):
+- heatmaps (B, H/4, W/4, C);   masks (B, H, W, 2) with channels [right, left]
+- batch keys mirror the reference dataset dict.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pdfnet_tpu import assets
+from pdfnet_tpu.config import Config
+from pdfnet_tpu.ops.geometry import (orthographic_project, perspective_project,
+                                     uv_root_to_3d)
+from pdfnet_tpu.ops.heatmap import clamped_sigmoid
+
+_HI = jax.lax.Precision.HIGHEST
+
+# 20 hand bones as (parent, child) joint-index pairs (losses.py:37-56).
+BONES = np.array(
+    [(0, 1), (1, 2), (2, 3), (3, 4),
+     (0, 5), (5, 6), (6, 7), (7, 8),
+     (0, 9), (9, 10), (10, 11), (11, 12),
+     (0, 13), (13, 14), (14, 15), (15, 16),
+     (0, 17), (17, 18), (18, 19), (19, 20)], np.int32)
+
+
+class LossConsts(NamedTuple):
+    regressor_left: jax.Array    # (21, 778)
+    regressor_right: jax.Array
+    faces_left: np.ndarray       # (1538, 3) static
+    faces_right: np.ndarray
+    perm_left: np.ndarray        # (1008,) vert->GCN permutation
+    perm_right: np.ndarray
+
+
+def load_loss_consts() -> LossConsts:
+    gl = assets.load_graph("left")
+    gr = assets.load_graph("right")
+    return LossConsts(
+        regressor_left=jnp.asarray(assets.full_regressor("left")),
+        regressor_right=jnp.asarray(assets.full_regressor("right")),
+        faces_left=np.asarray(assets.load_mano("left").faces),
+        faces_right=np.asarray(assets.load_mano("right").faces),
+        perm_left=gl.graph_perm,
+        perm_right=gr.graph_perm,
+    )
+
+
+def focal_loss(pred: jax.Array, gt: jax.Array) -> jax.Array:
+    """CornerNet focal loss, per-sample (B,).  pred post-sigmoid."""
+    pos = (gt == 1.0).astype(pred.dtype)
+    neg = (gt < 1.0).astype(pred.dtype)
+    neg_w = (1.0 - gt) ** 4
+    pos_l = jnp.log(pred) * (1.0 - pred) ** 2 * pos
+    neg_l = jnp.log(1.0 - pred) * pred ** 2 * neg_w * neg
+    axes = tuple(range(1, pred.ndim))
+    num_pos = pos.sum(axis=axes)
+    pos_s, neg_s = pos_l.sum(axis=axes), neg_l.sum(axis=axes)
+    normed = -(pos_s + neg_s) / (num_pos + 1e-3)
+    return jnp.where(num_pos.sum() == 0, -neg_s, normed)
+
+
+def smooth_l1(pred: jax.Array, gt: jax.Array) -> jax.Array:
+    d = jnp.abs(pred - gt)
+    return jnp.mean(jnp.where(d < 1.0, 0.5 * d * d, d - 0.5))
+
+
+def l1_per_sample(pred: jax.Array, gt: jax.Array) -> jax.Array:
+    B = pred.shape[0]
+    return jnp.abs(pred - gt).reshape(B, -1).mean(axis=1)
+
+
+def mse(pred: jax.Array, gt: jax.Array) -> jax.Array:
+    return jnp.mean((pred - gt) ** 2)
+
+
+def mse_per_sample(pred: jax.Array, gt: jax.Array) -> jax.Array:
+    B = pred.shape[0]
+    return ((pred - gt) ** 2).reshape(B, -1).mean(axis=1)
+
+
+def face_normal_loss(pred, gt, faces) -> jax.Array:
+    """Predicted edge vectors must be orthogonal to GT face normals."""
+    f0, f1, f2 = faces[:, 0], faces[:, 1], faces[:, 2]
+
+    def edges(v):
+        e1 = v[:, f1] - v[:, f0]
+        e2 = v[:, f2] - v[:, f0]
+        e3 = v[:, f2] - v[:, f1]
+        normalize = lambda e: e / (jnp.linalg.norm(e, axis=-1, keepdims=True) + 1e-12)
+        return normalize(e1), normalize(e2), normalize(e3)
+
+    p1, p2, p3 = edges(pred)
+    g1, g2, _ = edges(gt)
+    n_gt = jnp.cross(g1, g2)
+    n_gt = n_gt / (jnp.linalg.norm(n_gt, axis=-1, keepdims=True) + 1e-12)
+    cos = [jnp.abs(jnp.sum(p * n_gt, axis=-1)) for p in (p1, p2, p3)]
+    return jnp.mean(jnp.stack(cos))
+
+
+def edge_length_loss(pred, gt, faces) -> jax.Array:
+    f0, f1, f2 = faces[:, 0], faces[:, 1], faces[:, 2]
+
+    def lengths(v):
+        d1 = jnp.linalg.norm(v[:, f0] - v[:, f1], axis=-1)
+        d2 = jnp.linalg.norm(v[:, f0] - v[:, f2], axis=-1)
+        d3 = jnp.linalg.norm(v[:, f1] - v[:, f2], axis=-1)
+        return d1, d2, d3
+
+    diffs = [jnp.abs(p - g) for p, g in zip(lengths(pred), lengths(gt))]
+    return jnp.mean(jnp.stack(diffs))
+
+
+def bone_direction_loss(j2d: jax.Array, j2d_gt: jax.Array) -> jax.Array:
+    """Cosine mismatch of 2D bone directions, per-sample (B,)."""
+    def bone_vecs(j):
+        v = j[:, BONES[:, 1]] - j[:, BONES[:, 0]]            # (B, 20, 2)
+        return v / jnp.sqrt(jnp.sum(v * v, axis=-1, keepdims=True) + 1e-4)
+
+    d = bone_vecs(j2d) - bone_vecs(j2d_gt)
+    return jnp.sum(d * d, axis=-1).mean(axis=1)
+
+
+def mesh_downsample_pyramid(v1008: jax.Array, target_verts: int) -> jax.Array:
+    """Average-pool the padded 1008-vert tensor down to ``target_verts``."""
+    v = v1008
+    while v.shape[1] > target_verts:
+        B, V, F = v.shape
+        v = v.reshape(B, V // 2, 2, F).mean(axis=2)
+    return v
+
+
+def compute_loss(
+    cfg: Config,
+    consts: LossConsts,
+    result: Dict[str, Any],
+    params: Dict[str, Any],
+    hand_dicts,
+    other: Dict[str, Any],
+    batch: Dict[str, jax.Array],
+    epoch: jax.Array,
+    mode: str = "train",
+) -> Tuple[jax.Array, Dict[str, jax.Array]]:
+    """Returns (scalar loss, stats dict).  For mode=='test' use eval_outputs."""
+    res_px = cfg.default_resolution
+    valid = batch["valid"]                                  # (B, 2)
+    B = valid.shape[0]
+    stats: Dict[str, jax.Array] = {}
+
+    is_train = mode == "train"
+    ind_lr = batch["ind"] if is_train else other["ind"]     # (B, 2)
+
+    # --- detection / segmentation terms -----------------------------------
+    mask_loss = smooth_l1(other["mask"], batch["mask"])
+    hms_loss = mse(other["hms"], batch["hms"])
+    center_hm = clamped_sigmoid(other["ret"]["hm"])
+    hm_loss = focal_loss(center_hm, batch["hm"])
+
+    # --- mesh ground truth ------------------------------------------------
+    vl_gt, vr_gt = batch["verts_left_gt"], batch["verts_right_gt"]
+    jl_gt_abs = batch["joints_left_gt"]
+    jr_gt_abs = batch["joints_right_gt"]
+    root_l_gt = jl_gt_abs[:, 9:10]
+    root_r_gt = jr_gt_abs[:, 9:10]
+    vl_gt_off = vl_gt - root_l_gt
+    vr_gt_off = vr_gt - root_r_gt
+    jl_gt_off = jnp.einsum("jv,bvc->bjc", consts.regressor_left, vl_gt_off,
+                           precision=_HI)
+    jr_gt_off = jnp.einsum("jv,bvc->bjc", consts.regressor_right, vr_gt_off,
+                           precision=_HI)
+
+    vl_off = result["verts3d"]["left"]
+    vr_off = result["verts3d"]["right"]
+    jl_off = jnp.einsum("jv,bvc->bjc", consts.regressor_left, vl_off,
+                        precision=_HI)
+    jr_off = jnp.einsum("jv,bvc->bjc", consts.regressor_right, vr_off,
+                        precision=_HI)
+
+    # --- root-relative vertex / joint terms -------------------------------
+    norm01 = lambda x: x / res_px * 2.0 - 1.0
+    verts2d_loss = (mse(norm01(result["verts2d"]["left"]),
+                        norm01(batch["verts2d_left_gt"])) +
+                    mse(norm01(result["verts2d"]["right"]),
+                        norm01(batch["verts2d_right_gt"])))
+    verts_loss = (l1_per_sample(vl_off, vl_gt_off) * valid[:, 0] +
+                  l1_per_sample(vr_off, vr_gt_off) * valid[:, 1])
+    joints_loss = (l1_per_sample(jl_off, jl_gt_off) * valid[:, 0] +
+                   l1_per_sample(jr_off, jr_gt_off) * valid[:, 1])
+
+    norm_loss = (face_normal_loss(vl_off, vl_gt_off, consts.faces_left) +
+                 face_normal_loss(vr_off, vr_gt_off, consts.faces_right))
+    edge_loss = (edge_length_loss(vl_off, vl_gt_off, consts.faces_left) +
+                 edge_length_loss(vr_off, vr_gt_off, consts.faces_right))
+
+    # --- coarse (252-vert) GCN supervision --------------------------------
+    v252_l = hand_dicts[0]["verts3d"]["left"]
+    v252_r = hand_dicts[0]["verts3d"]["right"]
+    v252_2d_l = hand_dicts[0]["verts2d"]["left"]
+    v252_2d_r = hand_dicts[0]["verts2d"]["right"]
+
+    # Reference quirk (simplified.py:463): the right-hand GCN GT reuses the
+    # LEFT hand's vertices; fixed by default, replicable for parity runs.
+    vr_gt_for_gcn = vl_gt_off if cfg.replicate_reference_quirks else vr_gt_off
+    gt252_l = mesh_downsample_pyramid(vl_gt_off[:, consts.perm_left], 252)
+    gt252_r = mesh_downsample_pyramid(vr_gt_for_gcn[:, consts.perm_right], 252)
+    gt252_2d_l = mesh_downsample_pyramid(
+        batch["verts2d_left_gt"][:, consts.perm_left], 252)
+    gt252_2d_r = mesh_downsample_pyramid(
+        batch["verts2d_right_gt"][:, consts.perm_right], 252)
+
+    # Second reference quirk (simplified.py:481-482): both gcn_loss terms are
+    # gated by the LEFT validity.  Fixed by default.
+    v_r_gate = valid[:, 0] if cfg.replicate_reference_quirks else valid[:, 1]
+    gcn_loss = (l1_per_sample(v252_l, gt252_l) * valid[:, 0] +
+                l1_per_sample(v252_r, gt252_r) * v_r_gate)
+    gcn_2d_loss = (mse(norm01(v252_2d_l), norm01(gt252_2d_l)) +
+                   mse(norm01(v252_2d_r), norm01(gt252_2d_r)))
+
+    # --- absolute root / absolute pose ------------------------------------
+    root_z_l = 0.4 + params["root"]["left"][:, 0] / 100.0
+    root_z_r = 0.4 + params["root"]["right"][:, 0] / 100.0
+    root_xy_l = params["root"]["left"][:, 1:] / 100.0
+    root_xy_r = params["root"]["right"][:, 1:] / 100.0
+    K_new = batch["K_new"]
+    root_l_pred = uv_root_to_3d(ind_lr[:, 0], root_xy_l, root_z_l, K_new,
+                                res_px, cfg.down_ratio)
+    root_r_pred = uv_root_to_3d(ind_lr[:, 1], root_xy_r, root_z_r, K_new,
+                                res_px, cfg.down_ratio)
+
+    jl_abs = jl_off + (root_l_gt if is_train else root_l_pred)
+    jr_abs = jr_off + (root_r_gt if is_train else root_r_pred)
+    vl_abs = vl_off + root_l_pred
+    vr_abs = vr_off + root_r_pred
+
+    lms_l_proj = perspective_project(jl_abs, K_new)
+    lms_r_proj = perspective_project(jr_abs, K_new)
+    joints2d_loss = (mse_per_sample(norm01(lms_l_proj),
+                                    norm01(batch["lms_left_gt"])) * valid[:, 0] +
+                     mse_per_sample(norm01(lms_r_proj),
+                                    norm01(batch["lms_right_gt"])) * valid[:, 1])
+
+    root_loss = (l1_per_sample(root_l_pred, root_l_gt) * valid[:, 0] * 1000.0 +
+                 l1_per_sample(root_r_pred, root_r_gt) * valid[:, 1] * 1000.0)
+    abs_joints_loss = (l1_per_sample(jl_abs, jl_gt_abs) * valid[:, 0] +
+                       l1_per_sample(jr_abs, jr_gt_abs) * valid[:, 1]) * 1000.0
+    abs_verts_loss = (l1_per_sample(vl_abs, vl_gt) * valid[:, 0] +
+                      l1_per_sample(vr_abs, vr_gt) * valid[:, 1]) * 1000.0
+
+    bone_loss = (bone_direction_loss(lms_l_proj, batch["lms_left_gt"]) * valid[:, 0] +
+                 bone_direction_loss(lms_r_proj, batch["lms_right_gt"]) * valid[:, 1])
+
+    # --- weighted sum (simplified.py:608-650) ------------------------------
+    alpha = (epoch >= cfg.edge_loss_start_epoch).astype(jnp.float32)
+    w = cfg.reproj_weight
+    loss = cfg.center_weight * hm_loss
+    loss = loss + w * root_loss
+    if cfg.reproj_loss:
+        loss = loss + w * verts_loss * 500.0
+        loss = loss + w * abs_verts_loss * 0.1
+        loss = loss + w * verts2d_loss * 50.0
+        loss = loss + w * norm_loss * 10.0
+        loss = loss + w * edge_loss * 2000.0 * alpha
+        loss = loss + w * gcn_loss * 100.0
+        loss = loss + w * gcn_2d_loss * 50.0
+        loss = loss + w * mask_loss * 2000.0
+        loss = loss + w * abs_joints_loss * 0.1
+        loss = loss + w * hms_loss * 2000.0
+        loss = loss + w * joints2d_loss * 1000.0 * alpha
+        loss = loss + w * joints_loss * 500.0
+        if cfg.bone_loss:
+            loss = loss + cfg.bone_dir_weight * bone_loss
+
+    total = loss.mean()
+    stats.update(
+        loss=total, hm_loss=hm_loss.mean(), root_loss=root_loss.mean(),
+        verts_loss=verts_loss.mean(), abs_verts_loss=abs_verts_loss.mean(),
+        verts2d_loss=verts2d_loss, norm_loss=norm_loss, edge_loss=edge_loss,
+        gcn_loss=gcn_loss.mean(), gcn_2d_loss=gcn_2d_loss,
+        mask_loss=mask_loss, abs_joints_loss=abs_joints_loss.mean(),
+        hms_loss=hms_loss, joints2d_loss=joints2d_loss.mean(),
+        joints_loss=joints_loss.mean(), bone_direc_loss=bone_loss.mean())
+    return total, stats
+
+
+def eval_outputs(cfg: Config, consts: LossConsts, result, params, hand_dicts,
+                 other, batch) -> Dict[str, jax.Array]:
+    """Test-mode outputs matching the reference eval tuple
+    (simplified.py:652-653): absolute + root-relative verts/joints and
+    projected 2D landmarks, stacked [left, right]."""
+    res_px = cfg.default_resolution
+    ind_lr = other["ind"]
+    K_new = batch["K_new"]
+
+    vl_off = result["verts3d"]["left"]
+    vr_off = result["verts3d"]["right"]
+    jl_off = jnp.einsum("jv,bvc->bjc", consts.regressor_left, vl_off,
+                        precision=_HI)
+    jr_off = jnp.einsum("jv,bvc->bjc", consts.regressor_right, vr_off,
+                        precision=_HI)
+
+    root_z_l = 0.4 + params["root"]["left"][:, 0] / 100.0
+    root_z_r = 0.4 + params["root"]["right"][:, 0] / 100.0
+    root_l = uv_root_to_3d(ind_lr[:, 0], params["root"]["left"][:, 1:] / 100.0,
+                           root_z_l, K_new, res_px, cfg.down_ratio)
+    root_r = uv_root_to_3d(ind_lr[:, 1], params["root"]["right"][:, 1:] / 100.0,
+                           root_z_r, K_new, res_px, cfg.down_ratio)
+
+    jl_abs, jr_abs = jl_off + root_l, jr_off + root_r
+    vl_abs, vr_abs = vl_off + root_l, vr_off + root_r
+
+    out = {
+        "verts_pred": jnp.stack([vl_abs, vr_abs], axis=1),
+        "joints_pred": jnp.stack([jl_abs, jr_abs], axis=1),
+        "verts_pred_off": jnp.stack([vl_off, vr_off], axis=1),
+        "joints_pred_off": jnp.stack([jl_off, jr_off], axis=1),
+        "lms21_pred": jnp.stack([perspective_project(jl_abs, K_new),
+                                 perspective_project(jr_abs, K_new)], axis=1),
+    }
+    if "verts_left_gt" in batch:
+        vl_gt, vr_gt = batch["verts_left_gt"], batch["verts_right_gt"]
+        root_l_gt = batch["joints_left_gt"][:, 9:10]
+        root_r_gt = batch["joints_right_gt"][:, 9:10]
+        vl_gt_off, vr_gt_off = vl_gt - root_l_gt, vr_gt - root_r_gt
+        jl_gt_off = jnp.einsum("jv,bvc->bjc", consts.regressor_left,
+                               vl_gt_off, precision=_HI)
+        jr_gt_off = jnp.einsum("jv,bvc->bjc", consts.regressor_right,
+                               vr_gt_off, precision=_HI)
+        out.update(
+            verts_gt=jnp.stack([vl_gt, vr_gt], axis=1),
+            joints_gt=jnp.stack([batch["joints_left_gt"],
+                                 batch["joints_right_gt"]], axis=1),
+            verts_gt_off=jnp.stack([vl_gt_off, vr_gt_off], axis=1),
+            joints_gt_off=jnp.stack([jl_gt_off, jr_gt_off], axis=1),
+        )
+    return out

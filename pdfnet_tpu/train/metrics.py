@@ -1,0 +1,81 @@
+"""Evaluation metrics: abs / root-relative MPJPE + MPVPE (mm), 2D px error.
+
+Matches the accumulation in the reference evaluator
+(base_trainer.py:207-491): per-sample mean euclidean error, averaged over
+the split, x1000 to millimetres; plus the H2O challenge submission dict.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Dict, Optional
+
+import numpy as np
+
+
+class MetricAccumulator:
+    KEYS = ("abs_mpjpe_left", "abs_mpjpe_right", "abs_mpvpe_left",
+            "abs_mpvpe_right", "off_mpjpe_left", "off_mpjpe_right",
+            "off_mpvpe_left", "off_mpvpe_right", "lms_px")
+
+    def __init__(self):
+        self.sums = {k: 0.0 for k in self.KEYS}
+        self.count = 0
+        self.h2o_submission: Dict[str, Dict] = {"modality": "RGBD"}
+        self._action_lists: Dict[int, Dict] = {}
+
+    def update(self, out: Dict[str, np.ndarray],
+               batch: Dict[str, np.ndarray]) -> None:
+        """out: eval_outputs dict (numpy); batch provides lms GT and ids."""
+        def err(pred, gt):                      # (B, N, 3) -> scalar mean
+            return float(np.linalg.norm(pred - gt, axis=-1).mean())
+
+        n = out["joints_pred"].shape[0]
+        if "joints_gt" in out:
+            self.sums["abs_mpjpe_left"] += err(out["joints_pred"][:, 0],
+                                               out["joints_gt"][:, 0]) * 1000 * n
+            self.sums["abs_mpjpe_right"] += err(out["joints_pred"][:, 1],
+                                                out["joints_gt"][:, 1]) * 1000 * n
+            self.sums["abs_mpvpe_left"] += err(out["verts_pred"][:, 0],
+                                               out["verts_gt"][:, 0]) * 1000 * n
+            self.sums["abs_mpvpe_right"] += err(out["verts_pred"][:, 1],
+                                                out["verts_gt"][:, 1]) * 1000 * n
+            self.sums["off_mpjpe_left"] += err(out["joints_pred_off"][:, 0],
+                                               out["joints_gt_off"][:, 0]) * 1000 * n
+            self.sums["off_mpjpe_right"] += err(out["joints_pred_off"][:, 1],
+                                                out["joints_gt_off"][:, 1]) * 1000 * n
+            self.sums["off_mpvpe_left"] += err(out["verts_pred_off"][:, 0],
+                                               out["verts_gt_off"][:, 0]) * 1000 * n
+            self.sums["off_mpvpe_right"] += err(out["verts_pred_off"][:, 1],
+                                                out["verts_gt_off"][:, 1]) * 1000 * n
+        if "lms_left_gt" in batch:
+            lms_gt = np.stack([batch["lms_left_gt"], batch["lms_right_gt"]], 1)
+            self.sums["lms_px"] += err(out["lms21_pred"], lms_gt) * n
+        self.count += n
+
+        # H2O challenge submission (bs=1 with ids, base_trainer.py:328-335).
+        if "id" in batch and n == 1:
+            action = int(batch["id"][0])
+            frame = int(batch["frame_num"][0])
+            self._action_lists.setdefault(action, {})
+            self._action_lists[action][f"{frame:06d}.txt"] = (
+                out["joints_pred"].reshape(-1).tolist())
+
+    def result(self) -> Dict[str, float]:
+        c = max(self.count, 1)
+        return {k: v / c for k, v in self.sums.items()}
+
+    def format_block(self, tag: str = "") -> str:
+        """H2O-val.txt-style eval block."""
+        r = self.result()
+        lines = [f"evaluation results {tag}:".rstrip() + ":"]
+        for k in self.KEYS:
+            lines.append(f"   {k}: {r[k]:.2f}")
+        return "\n".join(lines) + "\n"
+
+    def write_h2o_submission(self, path: str) -> None:
+        sub = dict(self.h2o_submission)
+        for action, frames in self._action_lists.items():
+            sub[str(action)] = frames
+        with open(path, "w") as f:
+            json.dump(sub, f)

@@ -1,0 +1,108 @@
+"""Jitted train / eval steps over a data-parallel mesh.
+
+One compiled function is the whole per-batch hot path: forward, the full
+multi-term loss, backward, Adam update, BatchNorm stat update.  Under GSPMD
+the batch axis is sharded across the mesh and XLA inserts the gradient
+all-reduce over ICI — the TPU-native replacement for DDP.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional, Tuple
+
+import flax
+import jax
+import jax.numpy as jnp
+import optax
+
+from pdfnet_tpu.config import Config
+from pdfnet_tpu.models.handnet import HandNet
+from pdfnet_tpu.parallel import mesh as mesh_lib
+from pdfnet_tpu.train.loss import LossConsts, compute_loss, eval_outputs
+
+
+@flax.struct.dataclass
+class TrainState:
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    step: jax.Array
+
+
+def lr_at_epoch(cfg: Config, epoch: int) -> float:
+    """Step-decay schedule: x0.1 at each lr_step boundary (main.py:137-143)."""
+    lr = cfg.lr
+    for s in cfg.lr_step:
+        if epoch >= s:
+            lr *= 0.1
+    return lr
+
+
+def make_optimizer(cfg: Config) -> optax.GradientTransformation:
+    return optax.inject_hyperparams(optax.adam)(learning_rate=cfg.lr)
+
+
+def create_train_state(cfg: Config, model: HandNet, rng: jax.Array,
+                       sample_batch: Dict[str, Any]) -> TrainState:
+    p_rng, d_rng = jax.random.split(rng)
+    variables = model.init(
+        {"params": p_rng, "dropout": d_rng},
+        sample_batch["input"], sample_batch["choose"], sample_batch["cloud"],
+        sample_batch["depth"], sample_batch["ind"], sample_batch["K_new"],
+        sample_batch["valid"], train=False)
+    tx = make_optimizer(cfg)
+    return TrainState(
+        params=variables["params"],
+        batch_stats=variables.get("batch_stats", {}),
+        opt_state=tx.init(variables["params"]),
+        step=jnp.zeros((), jnp.int32),
+    )
+
+
+def make_train_step(cfg: Config, model: HandNet, consts: LossConsts,
+                    donate: bool = True):
+    tx = make_optimizer(cfg)
+
+    def train_step(state: TrainState, batch: Dict[str, jax.Array],
+                   epoch: jax.Array, lr: jax.Array, rng: jax.Array):
+        def loss_fn(params):
+            variables = {"params": params, "batch_stats": state.batch_stats}
+            (result, p_dict, hand_dicts, other), mutated = model.apply(
+                variables, batch["input"], batch["choose"], batch["cloud"],
+                batch["depth"], batch["ind"], batch["K_new"], batch["valid"],
+                train=True, rngs={"dropout": rng}, mutable=["batch_stats"])
+            loss, stats = compute_loss(cfg, consts, result, p_dict,
+                                       hand_dicts, other, batch, epoch,
+                                       mode="train")
+            return loss, (stats, mutated["batch_stats"])
+
+        grads, (stats, new_bs) = jax.grad(loss_fn, has_aux=True)(state.params)
+        opt_state = state.opt_state
+        opt_state.hyperparams["learning_rate"] = lr
+        updates, new_opt = tx.update(grads, opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(params=new_params, batch_stats=new_bs,
+                               opt_state=new_opt, step=state.step + 1)
+        return new_state, stats
+
+    donate_argnums = (0,) if donate else ()
+    return jax.jit(train_step, donate_argnums=donate_argnums)
+
+
+def make_eval_step(cfg: Config, model: HandNet, consts: LossConsts):
+    def eval_step(params, batch_stats, batch: Dict[str, jax.Array]):
+        variables = {"params": params, "batch_stats": batch_stats}
+        result, p_dict, hand_dicts, other = model.apply(
+            variables, batch["input"], batch["choose"], batch["cloud"],
+            batch["depth"], None, batch["K_new"], batch["valid"],
+            train=False)
+        return eval_outputs(cfg, consts, result, p_dict, hand_dicts, other,
+                            batch)
+
+    return jax.jit(eval_step)
+
+
+def make_infer_step(cfg: Config, model: HandNet, consts: LossConsts):
+    """Inference on RGB + cloud inputs: returns eval tensors without GT."""
+    return make_eval_step(cfg, model, consts)

@@ -1,0 +1,99 @@
+"""Loss + train-step integration tests on synthetic data (tiny config)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pdfnet_tpu.config import Config
+from pdfnet_tpu.data.synthetic import make_batch
+from pdfnet_tpu.models import build_model
+from pdfnet_tpu.train.loss import load_loss_consts, compute_loss, eval_outputs
+from pdfnet_tpu.train.metrics import MetricAccumulator
+from pdfnet_tpu.train.step import (create_train_state, lr_at_epoch,
+                                   make_eval_step, make_train_step)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = Config(default_resolution=96, compute_dtype="float32",
+                 sample_num=128, sample_num_level1=64, sample_num_level2=16,
+                 knn_k=8, batch_size=2)
+    model = build_model(cfg)
+    consts = load_loss_consts()
+    batch = make_batch(cfg, 2, seed=0)
+    jb = {k: jnp.asarray(v) for k, v in batch.items()}
+    state = create_train_state(cfg, model, jax.random.PRNGKey(0), jb)
+    return cfg, model, consts, jb, state
+
+
+def test_loss_finite_and_stats(setup):
+    cfg, model, consts, jb, state = setup
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    result, params, hand_dicts, other = model.apply(
+        variables, jb["input"], jb["choose"], jb["cloud"], jb["depth"],
+        jb["ind"], jb["K_new"], jb["valid"], train=False)
+    loss, stats = compute_loss(cfg, consts, result, params, hand_dicts,
+                               other, jb, jnp.asarray(30), mode="train")
+    assert np.isfinite(float(loss))
+    for k in ("hm_loss", "root_loss", "verts_loss", "joints_loss",
+              "mask_loss", "hms_loss", "gcn_loss", "bone_direc_loss",
+              "edge_loss", "norm_loss", "abs_joints_loss", "abs_verts_loss",
+              "verts2d_loss", "gcn_2d_loss", "joints2d_loss"):
+        assert k in stats and np.isfinite(float(stats[k])), k
+
+
+def test_edge_loss_gated_by_epoch(setup):
+    cfg, model, consts, jb, state = setup
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    outs = model.apply(variables, jb["input"], jb["choose"], jb["cloud"],
+                       jb["depth"], jb["ind"], jb["K_new"], jb["valid"],
+                       train=False)
+    l_early, _ = compute_loss(cfg, consts, *outs, jb, jnp.asarray(0), "train")
+    l_late, _ = compute_loss(cfg, consts, *outs, jb, jnp.asarray(30), "train")
+    # edge + joints2d terms activate at epoch >= 20
+    assert float(l_late) > float(l_early)
+
+
+def test_train_step_updates_params(setup):
+    cfg, model, consts, jb, state = setup
+    step = make_train_step(cfg, model, consts, donate=False)
+    lr = jnp.asarray(lr_at_epoch(cfg, 0), jnp.float32)
+    s1, stats1 = step(state, jb, jnp.asarray(0), lr, jax.random.PRNGKey(1))
+    s2, stats2 = step(s1, jb, jnp.asarray(0), lr, jax.random.PRNGKey(2))
+    assert int(s2.step) == 2
+    assert np.isfinite(float(stats1["loss"]))
+    assert np.isfinite(float(stats2["loss"]))
+    # params actually moved
+    d = jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()),
+                     state.params, s2.params)
+    assert max(jax.tree.leaves(d)) > 0
+    # batch_stats updated
+    if jax.tree.leaves(state.batch_stats):
+        db = jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()),
+                          state.batch_stats, s2.batch_stats)
+        assert max(jax.tree.leaves(db)) > 0
+
+
+def test_eval_step_and_metrics(setup):
+    cfg, model, consts, jb, state = setup
+    ev = make_eval_step(cfg, model, consts)
+    out = ev(state.params, state.batch_stats, jb)
+    acc = MetricAccumulator()
+    acc.update(jax.tree.map(np.asarray, out),
+               jax.tree.map(np.asarray, jb))
+    r = acc.result()
+    for k in MetricAccumulator.KEYS:
+        assert np.isfinite(r[k]), k
+    # untrained net: errors should be large but bounded
+    assert r["abs_mpjpe_left"] > 1.0
+    block = acc.format_block("test")
+    assert "abs_mpjpe_left" in block
+
+
+def test_lr_schedule():
+    cfg = Config(lr=1e-4, lr_step=(30,))
+    assert lr_at_epoch(cfg, 0) == pytest.approx(1e-4)
+    assert lr_at_epoch(cfg, 29) == pytest.approx(1e-4)
+    assert lr_at_epoch(cfg, 30) == pytest.approx(1e-5)
+    assert lr_at_epoch(cfg, 80) == pytest.approx(1e-5)
