@@ -1,0 +1,295 @@
+"""H2O / H2O3D / RHD dataset pipeline (host-side numpy/cv2).
+
+Reference: lib/datasets/joint_dataset.py (cache loading / split slicing) and
+lib/datasets/interhand.py:459-1023 (sample building: MANO GT synthesis,
+flip/brightness/jitter/rotation augmentation, two-stage affine warp with
+intrinsics update, mask binarization, depth->cloud sampling, CenterNet
+targets).
+
+Annotation caches are pickles ``{cache_path}/{dataset}_{split}.pkl`` holding
+a list of dicts with keys imgpath / depthpath / mano_coeff (124) / lms
+(42, 2) / joints (42, 3) / K (3, 3) [+ id for test].  GT meshes are
+synthesized on the fly with the JAX MANO layer on CPU.
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+from typing import Dict, List, Optional
+
+import cv2
+import numpy as np
+
+from pdfnet_tpu.config import Config
+from pdfnet_tpu.data import augment as aug
+from pdfnet_tpu.data.cloud import sample_hand_cloud
+from pdfnet_tpu.data.targets import centernet_targets
+from pdfnet_tpu.mano import layer as mano
+
+DATASET_INDEX = {"Joint": 0, "FreiHAND": 1, "HO3D": 2, "H2O": 3, "H2O3D": 4,
+                 "InterHand": 5, "RHD": 6, "Others": 7}
+
+
+def _mano_consts(side: str):
+    return mano.load_mano_consts(side)
+
+
+def mano_gt_from_coeff(coeff: np.ndarray, side: str):
+    """(62,) per-hand coeff [valid, trans3, orient3, pose45, shape10] ->
+    (verts 778x3, joints 21x3) in camera space."""
+    import jax
+
+    c = _mano_consts(side)
+    with jax.default_device(jax.devices("cpu")[0]):
+        v, j = mano.mano_forward(
+            c,
+            coeff[None, 4:7].astype(np.float32),
+            coeff[None, 7:52].astype(np.float32),
+            coeff[None, 52:62].astype(np.float32),
+            trans=coeff[None, 1:4].astype(np.float32))
+    return np.asarray(v[0]), np.asarray(j[0])
+
+
+def decode_rhd_depth(depth_img: np.ndarray) -> np.ndarray:
+    """RHD's 2-channel uint8 depth encoding -> meters (interhand.py:181-186)."""
+    top, bottom = depth_img[:, :, 2], depth_img[:, :, 1]
+    return ((top.astype(np.float32) * 256 + bottom) / (2 ** 16 - 1)) * 5.0
+
+
+class H2ODataset:
+    """Split-sliced dataset over the pickle annotation caches."""
+
+    def __init__(self, cfg: Config, split: str):
+        self.cfg = cfg
+        self.split = split
+        self.rng = np.random.RandomState(cfg.seed)
+        name = cfg.dataset
+        self.records: List[Dict] = []
+        cache = os.path.join(cfg.cache_path, f"{name}_{split}.pkl")
+        if not os.path.exists(cache):
+            raise FileNotFoundError(
+                f"annotation cache {cache} not found; place the {name} "
+                f"caches under {cfg.cache_path}/ or use the synthetic dataset")
+        self.records += self._load(cache, name)
+        if split == "train" and name == "H2O":
+            val_cache = os.path.join(cfg.cache_path, f"{name}_val.pkl")
+            if os.path.exists(val_cache):
+                self.records += self._load(val_cache, name)
+        if split == "test" and name == "H2O":
+            self.records = self.records[:100]
+
+    def _load(self, cache: str, name: str) -> List[Dict]:
+        with open(cache, "rb") as f:
+            data = pickle.load(f, encoding="latin1")
+        for item in data:
+            item["dataset"] = DATASET_INDEX[name]
+            item["imgpath"] = os.path.join(name, item["imgpath"])
+            if "depthpath" in item:
+                item["depthpath"] = os.path.join(name, item["depthpath"])
+        return data
+
+    def __len__(self):
+        return len(self.records)
+
+    # ------------------------------------------------------------------
+    def __getitem__(self, index: int) -> Dict[str, np.ndarray]:
+        cfg = self.cfg
+        rec = self.records[index]
+        rng = np.random.RandomState((cfg.seed + index * 9973) % (2 ** 31))
+        res = cfg.default_resolution
+
+        img = cv2.imread(os.path.join(cfg.pre_fix, rec["imgpath"]))
+        if cfg.dataset == "RHD":
+            d_raw = cv2.imread(os.path.join(cfg.pre_fix, rec["depthpath"]))
+            depth = decode_rhd_depth(d_raw)
+        else:
+            depth = cv2.imread(os.path.join(cfg.pre_fix, rec["depthpath"]),
+                               cv2.IMREAD_ANYDEPTH) / 1000.0
+        mask_rel = (rec["imgpath"].replace("rgb", "mask")
+                    if cfg.dataset == "H2O"
+                    else rec["imgpath"].replace("color", "mask"))
+        mask = cv2.imread(os.path.join(cfg.pre_fix, mask_rel))
+        H, W = img.shape[:2]
+        if mask is not None and mask.shape[:2] != (H, W):
+            mask = cv2.resize(mask, (W, H))
+
+        K = np.asarray(rec["K"], np.float32).reshape(3, 3)
+        fx, cx = K[0, 0], K[0, 2]
+        lms = np.asarray(rec["lms"], np.float32).reshape(-1, 2).copy()
+
+        train = self.split == "train"
+        flip = train and rng.randint(0, 2) == 0
+
+        # --- MANO GT (H2O) or joint GT (RHD) -------------------------------
+        hand = {}
+        if "mano_coeff" in rec:
+            coeff = np.asarray(rec["mano_coeff"], np.float32).reshape(-1)
+            for side, sl in (("left", slice(0, 62)), ("right", slice(62, 124))):
+                v, j = mano_gt_from_coeff(coeff[sl], side)
+                v2 = v @ K.T
+                v2 = v2[:, :2] / v2[:, 2:]
+                j2 = j @ K.T
+                j2 = j2[:, :2] / j2[:, 2:]
+                if flip:
+                    j2[:, 0] = W - j2[:, 0]
+                    v2[:, 0] = W - v2[:, 0]
+                    j[:, 0] = -j[:, 0] + j[:, 2] / fx * (W - 2 * cx)
+                    v[:, 0] = -v[:, 0] + v[:, 2] / fx * (W - 2 * cx)
+                hand[side] = dict(verts3d=v, joints3d=j, verts2d=v2, joints2d=j2)
+            valid_l = 1 if coeff[0] == 1 else 0
+            valid_r = 1 if coeff[62] == 1 else 0
+        else:  # RHD: joints only
+            joints = np.asarray(rec["joints"], np.float32).reshape(-1, 3)
+            for side, jj, l2 in (("left", joints[:21], lms[:21].copy()),
+                                 ("right", joints[21:], lms[21:].copy())):
+                j = jj.copy()
+                if flip:
+                    l2[:, 0] = W - l2[:, 0]
+                    j[:, 0] = -j[:, 0] + j[:, 2] / fx * (W - 2 * cx)
+                hand[side] = dict(verts3d=None, joints3d=j, verts2d=None,
+                                  joints2d=l2)
+            lms_conf = np.asarray(rec["lms"], np.float32)
+            valid_l = int(rec.get("bboxes", [1, 1])[0] is not None)
+            valid_r = int(rec.get("bboxes", [1, 1])[1] is not None)
+
+        if cfg.brightness and train and rng.randint(0, 2) == 0:
+            img = aug.add_noise(img.astype(np.float32), rng).astype(np.uint8)
+        if flip:
+            img = cv2.flip(img, 1)
+            mask = cv2.flip(mask, 1) if mask is not None else None
+            depth = cv2.flip(depth, 1)
+            lms[:, 0] = W - lms[:, 0]
+            hand["left"], hand["right"] = hand["right"], hand["left"]
+            valid_l, valid_r = valid_r, valid_l
+
+        # --- stage 1: center crop (+jitter) with intrinsics update ---------
+        c = np.array([W / 2.0, H / 2.0], np.float32)
+        s = max(H, W) * 1.0
+        rot = 0
+        if train:
+            c[0] = rng.randint(int(c[0] - 5), int(c[0] + 5))
+            c[1] = rng.randint(int(c[1] - 5), int(c[1] + 5))
+            rot = rng.randint(-60, 60)
+        trans, _ = aug.get_affine_transform(c, s, 0, (res, res))
+        K_img = aug.update_intrinsics(K, trans)
+        img = cv2.warpAffine(img, trans, (res, res), flags=cv2.INTER_LINEAR)
+        depth = cv2.warpAffine(depth, trans, (res, res), flags=cv2.INTER_NEAREST)
+        if mask is not None:
+            mask = cv2.warpAffine(mask, trans, (res, res),
+                                  flags=cv2.INTER_NEAREST)
+        lms = aug.affine_transform_points(lms, trans)
+        for side in ("left", "right"):
+            hand[side]["joints2d"] = aug.affine_transform_points(
+                hand[side]["joints2d"], trans)
+            if hand[side]["verts2d"] is not None:
+                hand[side]["verts2d"] = aug.affine_transform_points(
+                    hand[side]["verts2d"], trans)
+
+        # --- stage 2: in-plane rotation, K kept fixed ----------------------
+        c2 = np.array([res / 2.0, res / 2.0], np.float32)
+        trans2, _ = aug.get_affine_transform(c2, float(res), rot, (res, res))
+        img = cv2.warpAffine(img, trans2, (res, res), flags=cv2.INTER_LINEAR)
+        depth = cv2.warpAffine(depth, trans2, (res, res),
+                               flags=cv2.INTER_NEAREST)
+        if mask is not None:
+            mask = cv2.warpAffine(mask, trans2, (res, res),
+                                  flags=cv2.INTER_NEAREST)
+        lms = aug.affine_transform_points(lms, trans2)
+        rot_point = aug.rotation_point_matrix(trans2, K_img, rot)
+        for side in ("left", "right"):
+            hand[side]["joints2d"] = aug.affine_transform_points(
+                hand[side]["joints2d"], trans2)
+            hand[side]["joints3d"] = hand[side]["joints3d"] @ rot_point.T
+            if hand[side]["verts2d"] is not None:
+                hand[side]["verts2d"] = aug.affine_transform_points(
+                    hand[side]["verts2d"], trans2)
+                hand[side]["verts3d"] = hand[side]["verts3d"] @ rot_point.T
+
+        # --- masks to per-hand binary --------------------------------------
+        if mask is not None and cfg.dataset == "H2O":
+            _, mask_bin = cv2.threshold(mask, 127, 255, cv2.THRESH_BINARY)
+            mask_bin = mask_bin.astype(np.float32)[..., 1:] / 255.0  # (H,W,2)
+            if flip:
+                mask_bin = mask_bin[..., ::-1]
+            mask_right, mask_left = mask_bin[..., 0], mask_bin[..., 1]
+        elif mask is not None:  # RHD label ids
+            mask_left = (((mask[:, :, 0] > 1) & (mask[:, :, 0] < 18))
+                         .astype(np.float32))
+            mask_right = (mask[:, :, 0] >= 18).astype(np.float32)
+            if flip:
+                mask_left, mask_right = mask_right, mask_left
+            mask_bin = np.stack([mask_right, mask_left], axis=-1)
+        else:
+            mask_bin = np.zeros((res, res, 2), np.float32)
+            mask_right = mask_left = mask_bin[..., 0]
+
+        # --- point clouds ---------------------------------------------------
+        band = ((depth > 0.2) & (depth < 2.5)).astype(np.float32)
+        depth_b = depth * band
+        n = cfg.sample_num
+        choose_l, cloud_l, ok_l = sample_hand_cloud(depth_b * mask_left,
+                                                    K_img, n, rng)
+        choose_r, cloud_r, ok_r = sample_hand_cloud(depth_b * mask_right,
+                                                    K_img, n, rng)
+        valid_l = valid_l and ok_l
+        valid_r = valid_r and ok_r
+
+        tgt = centernet_targets(hand["left"]["joints2d"],
+                                hand["right"]["joints2d"],
+                                int(valid_l), int(valid_r), res,
+                                cfg.down_ratio)
+
+        mean = np.asarray(cfg.mean, np.float32)
+        std = np.asarray(cfg.std, np.float32)
+        inp = (img.astype(np.float32) / 255.0 - mean) / std
+
+        out = {
+            "input": inp.astype(np.float32),
+            "depth": depth.astype(np.float32),
+            "cloud": np.stack([cloud_l, cloud_r]).astype(np.float32),
+            "choose": np.stack([choose_l, choose_r]),
+            "hm": tgt["hm"], "hms": tgt["hms"], "wh": tgt["wh"],
+            "ind": tgt["ind"],
+            "valid": tgt["valid"],
+            "mask": mask_bin.astype(np.float32),
+            "K_new": K_img.astype(np.float32),
+            "lms_left_gt": hand["left"]["joints2d"].astype(np.float32),
+            "lms_right_gt": hand["right"]["joints2d"].astype(np.float32),
+            "joints_left_gt": hand["left"]["joints3d"].astype(np.float32),
+            "joints_right_gt": hand["right"]["joints3d"].astype(np.float32),
+            "file_id": np.int64(index),
+        }
+        if hand["left"]["verts3d"] is not None:
+            out.update({
+                "verts_left_gt": hand["left"]["verts3d"].astype(np.float32),
+                "verts_right_gt": hand["right"]["verts3d"].astype(np.float32),
+                "verts2d_left_gt": hand["left"]["verts2d"].astype(np.float32),
+                "verts2d_right_gt": hand["right"]["verts2d"].astype(np.float32),
+            })
+        if "id" in rec and self.split == "test":
+            out["id"] = np.int64(rec["id"])
+            out["frame_num"] = np.int64(int(rec["imgpath"][-10:-4]))
+        return out
+
+    def batches(self, batch_size: int, epoch: int = 0):
+        order = (np.random.RandomState(self.cfg.seed + epoch)
+                 .permutation(len(self)))
+        if self.split != "train":
+            order = np.arange(len(self))
+        for i in range(0, len(order) - batch_size + 1, batch_size):
+            samples = [self[int(j)] for j in order[i:i + batch_size]]
+            keys = set(samples[0])
+            for s in samples[1:]:
+                keys &= set(s)
+            yield {k: np.stack([s[k] for s in samples]) for k in keys}
+
+
+def build_dataset(cfg: Config, split: str):
+    """Dataset factory: real caches when present, else synthetic."""
+    try:
+        return H2ODataset(cfg, split)
+    except FileNotFoundError:
+        from pdfnet_tpu.data.synthetic import SyntheticHandDataset
+        return SyntheticHandDataset(cfg, size=256 if split == "train" else 32,
+                                    seed=0 if split == "train" else 1)
