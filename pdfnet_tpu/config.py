@@ -72,6 +72,7 @@ class Config:
     ball_radius: float = 0.015        # squared radius, level 1
     ball_radius2: float = 0.04        # squared radius, level 2
     sample_strategy: str = "random"   # random | FPS
+    approx_knn: bool = True           # TPU-optimized approx top-k neighbors
 
     # ---- GCN decoder ------------------------------------------------------
     deconv_dims: Tuple[int, ...] = (256, 256, 256, 256)

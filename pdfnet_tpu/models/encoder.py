@@ -39,6 +39,7 @@ class FPNEncoder(nn.Module):
     ball_radius: float = 0.015
     ball_radius2: float = 0.04
     input_feature_num: int = 3
+    approx_knn: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -114,16 +115,15 @@ class FPNEncoder(nn.Module):
                       dtype=self.dtype, name="center_up1")(up0)
         center_feat = gather_pixels(up1, ind)                # (B, 2, 1024)
 
-        # PointNet++ per hand with pyramid SFT fusion (shared weights).
+        # PointNet++ with pyramid SFT fusion; both hands in one batched call.
         pointnet = PointNetPlus(
             knn_k=self.knn_k, num_level1=self.num_level1,
             num_level2=self.num_level2, ball_radius=self.ball_radius,
             ball_radius2=self.ball_radius2,
             input_feature_num=self.input_feature_num,
-            resolution=self.resolution, dtype=self.dtype, name="pointnet")
-        fuse_left = pointnet(cloud[:, 0], pw_emb, choose[:, 0], train)
-        fuse_right = pointnet(cloud[:, 1], pw_emb, choose[:, 1], train)
-        fuse = jnp.concatenate([fuse_left, fuse_right], axis=1)  # (B, 2, 1024)
+            resolution=self.resolution, approx_knn=self.approx_knn,
+            dtype=self.dtype, name="pointnet")
+        fuse = pointnet(cloud, pw_emb, choose, train)            # (B, 2, 1024)
 
         # SFT-condition the per-hand global point features on center features.
         fuse = SFTLayer(1024, 1024, self.dtype, name="sft")(fuse, center_feat)

@@ -46,7 +46,12 @@ class PointMLP(nn.Module):
 
 
 class PointNetPlus(nn.Module):
-    """points (B, N, F_in), pyramid emb, choose (B, N) -> (B, 1, 1024)."""
+    """Two-hand set abstraction: points (B, 2, N, F_in), pyramid emb,
+    choose (B, 2, N) -> (B, 2, 1024).
+
+    Both hands fold into the batch axis so every matmul/pool runs once at
+    2x batch (better MXU utilization than two sequential per-hand calls).
+    """
 
     knn_k: int = 64
     num_level1: int = 512
@@ -55,44 +60,52 @@ class PointNetPlus(nn.Module):
     ball_radius2: float = 0.04
     input_feature_num: int = 3
     resolution: int = 384
+    approx_knn: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, points: jax.Array, emb: List[jax.Array],
                  choose: jax.Array, train: bool) -> jax.Array:
         res = self.resolution
+        B, H, N = choose.shape
+        fold = lambda t: t.reshape(B * H, *t.shape[2:])
 
         # Level 0 fusion: condition raw xyz on full-res RGB features.
-        pw_l0 = gather_pixels(emb[0], choose)                       # (B, N, 3)
-        points = SFTLayer(3, self.input_feature_num, self.dtype,
-                          name="sft0")(points, pw_l0)
+        pw_l0 = gather_pixels(emb[0], choose.reshape(B, H * N))
+        pw_l0 = fold(pw_l0.reshape(B, H, N, -1))                    # (BH, N, 3)
+        pts = SFTLayer(emb[0].shape[-1], self.input_feature_num, self.dtype,
+                       name="sft0")(fold(points), pw_l0)
 
         grouped, centers = group_points(
-            points, k=self.knn_k, num_centers=self.num_level1,
-            radius2=self.ball_radius)
+            pts, k=self.knn_k, num_centers=self.num_level1,
+            radius2=self.ball_radius, approx=self.approx_knn)
 
         # Pyramid pixel indices at 1/2 and 1/4 resolution (integer row/col
         # halving of the flat index; intaghand_encoder.py:125-128).
         c_half = (choose // res // 2) * (res // 2) + choose % res // 2
         c_quart = (choose // res // 4) * (res // 4) + choose % res // 4
-        pw_l1 = gather_pixels(emb[1], c_half[:, :self.num_level1])  # (B,512,64)
-        pw_l2 = gather_pixels(emb[2], c_quart[:, :self.num_level2])  # (B,128,256)
+        pw_l1 = gather_pixels(
+            emb[1], c_half[:, :, :self.num_level1].reshape(B, -1))
+        pw_l1 = fold(pw_l1.reshape(B, H, self.num_level1, -1))      # (BH,512,64)
+        pw_l2 = gather_pixels(
+            emb[2], c_quart[:, :, :self.num_level2].reshape(B, -1))
+        pw_l2 = fold(pw_l2.reshape(B, H, self.num_level2, -1))      # (BH,128,256)
 
         x = PointMLP(LEVEL1_MLP, self.dtype, name="mlp1")(grouped, train)
-        x = jnp.max(x, axis=2)                                      # (B,512,128)
-        x = jnp.concatenate([centers, x], axis=-1)                  # (B,512,131)
+        x = jnp.max(x, axis=2)                                      # (BH,512,128)
+        x = jnp.concatenate([centers, x], axis=-1)                  # (BH,512,131)
         x = SFTLayer(emb[1].shape[-1], x.shape[-1], self.dtype,
                      name="sft1")(x, pw_l1)
 
         grouped2, centers2 = group_points_level2(
             x, num_centers=self.num_level2, k=self.knn_k,
-            radius2=self.ball_radius2)
+            radius2=self.ball_radius2, approx=self.approx_knn)
         x = PointMLP(LEVEL2_MLP, self.dtype, name="mlp2")(grouped2, train)
-        x = jnp.max(x, axis=2)                                      # (B,128,256)
-        x = jnp.concatenate([centers2, x], axis=-1)                 # (B,128,259)
+        x = jnp.max(x, axis=2)                                      # (BH,128,256)
+        x = jnp.concatenate([centers2, x], axis=-1)                 # (BH,128,259)
         x = SFTLayer(emb[2].shape[-1], x.shape[-1], self.dtype,
                      name="sft2")(x, pw_l2)
 
         x = PointMLP(LEVEL3_MLP, self.dtype, name="mlp3")(x, train)
-        x = jnp.max(x, axis=1, keepdims=True)                       # (B,1,1024)
-        return x
+        x = jnp.max(x, axis=1)                                      # (BH, 1024)
+        return x.reshape(B, H, -1)

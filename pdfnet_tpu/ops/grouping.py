@@ -30,13 +30,16 @@ import jax.numpy as jnp
 def _pairwise_sqdist(centers: jax.Array, points: jax.Array) -> jax.Array:
     """(B, S, 3), (B, N, 3) -> (B, S, N) squared euclidean distances.
 
-    Uses the direct diff-square-sum form: with only 3 coordinate channels the
-    matmul expansion saves nothing, and the direct form is exact (no
-    catastrophic cancellation), which matters because the ball-query radius
-    test must match the reference bit-for-bit on typical inputs.
+    Matmul expansion |c|^2 + |p|^2 - 2 c.p: the cross term is one MXU
+    matmul; at hand scale (|xyz| ~ 1e-1 .. 1) f32 cancellation error is
+    ~1e-8, far below the 1.5e-2 ball-query radius, so the radius test is
+    unaffected.
     """
-    diff = centers[:, :, None, :] - points[:, None, :, :]
-    return jnp.sum(diff * diff, axis=-1)
+    cross = jnp.einsum("bsc,bnc->bsn", centers, points,
+                       precision=jax.lax.Precision.HIGHEST)
+    c2 = jnp.sum(centers * centers, axis=-1)[:, :, None]
+    p2 = jnp.sum(points * points, axis=-1)[:, None, :]
+    return c2 + p2 - 2.0 * cross
 
 
 def knn_ball_query(
@@ -44,8 +47,15 @@ def knn_ball_query(
     points_xyz: jax.Array,
     k: int,
     radius2: float,
+    approx: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
     """Indices of the k nearest points per center, ball-query-substituted.
+
+    ``approx`` uses the TPU-optimized ``lax.approx_max_k`` (95% recall);
+    the downstream MLP+maxpool is permutation-invariant and the ball query
+    re-validates every neighbor, so a rare missed true-neighbor only swaps
+    one in-ball point for another.  Exact ``lax.top_k`` is the default for
+    parity runs.
 
     Returns:
       idx: (B, S, K) int32 point indices; out-of-ball neighbors are replaced
@@ -54,7 +64,10 @@ def knn_ball_query(
     """
     S = centers_xyz.shape[1]
     d2 = _pairwise_sqdist(centers_xyz, points_xyz)          # (B, S, N)
-    neg_dist, idx = jax.lax.top_k(-d2, k)                   # ascending distance
+    if approx:
+        neg_dist, idx = jax.lax.approx_max_k(-d2, k, recall_target=0.95)
+    else:
+        neg_dist, idx = jax.lax.top_k(-d2, k)               # ascending distance
     dist = -neg_dist
     valid = dist <= radius2
     center_idx = jnp.arange(S, dtype=idx.dtype)[None, :, None]
@@ -67,6 +80,7 @@ def group_points(
     k: int = 64,
     num_centers: int = 512,
     radius2: float = 0.015,
+    approx: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
     """Level-1 grouping.  points: (B, N, C) with xyz in the first 3 channels.
 
@@ -79,7 +93,7 @@ def group_points(
       centers: (B, S, 3) center coordinates.
     """
     centers = points[:, :num_centers, :3]
-    idx, _ = knn_ball_query(centers, points[..., :3], k, radius2)
+    idx, _ = knn_ball_query(centers, points[..., :3], k, radius2, approx)
     grouped = jnp.take_along_axis(
         points[:, :, None, :], idx[..., None], axis=1)       # (B, S, K, C)
     grouped = grouped.at[..., :3].add(-centers[:, :, None, :])
@@ -91,6 +105,7 @@ def group_points_level2(
     num_centers: int = 128,
     k: int = 64,
     radius2: float = 0.04,
+    approx: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
     """Level-2 grouping over already-abstracted points.
 
@@ -102,7 +117,7 @@ def group_points_level2(
       centers: (B, S2, 3).
     """
     centers = feat[:, :num_centers, :3]
-    idx, _ = knn_ball_query(centers, feat[..., :3], k, radius2)
+    idx, _ = knn_ball_query(centers, feat[..., :3], k, radius2, approx)
     grouped = jnp.take_along_axis(feat[:, :, None, :], idx[..., None], axis=1)
     grouped = grouped.at[..., :3].add(-centers[:, :, None, :])
     return grouped, centers

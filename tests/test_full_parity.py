@@ -1,0 +1,92 @@
+"""Full-model forward parity: converted reference weights, same inputs.
+
+Requires fixtures from ``python tools/make_model_golden.py`` (reference repo
++ torch needed once); skipped when absent.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+FIXTURES = "/tmp/pdfnet_parity"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.exists(os.path.join(FIXTURES, "outputs.npz")),
+    reason="full-model parity fixtures not generated "
+           "(run tools/make_model_golden.py)")
+
+
+@pytest.fixture(scope="module")
+def parity():
+    import jax.numpy as jnp
+    from pdfnet_tpu.config import Config
+    from pdfnet_tpu.models import build_model
+    from pdfnet_tpu.utils.convert_torch import convert_state_dict
+
+    inputs = dict(np.load(os.path.join(FIXTURES, "inputs.npz")))
+    ref = dict(np.load(os.path.join(FIXTURES, "outputs.npz")))
+    state = dict(np.load(os.path.join(FIXTURES, "state_dict.npz")))
+
+    variables, skipped = convert_state_dict(state, verbose=False)
+    cfg = Config(default_resolution=384, compute_dtype="float32",
+                 approx_knn=False, dropout=0.0)
+    model = build_model(cfg)
+    out = model.apply(
+        {"params": variables["params"],
+         "batch_stats": variables["batch_stats"]},
+        jnp.asarray(inputs["img"].transpose(0, 2, 3, 1)),
+        jnp.asarray(inputs["choose"].astype(np.int32)),
+        jnp.asarray(inputs["cloud"]),
+        jnp.asarray(inputs["depth"]),
+        jnp.asarray(inputs["ind"].astype(np.int32)),
+        jnp.asarray(inputs["K"]),
+        jnp.asarray(inputs["valid"]),
+        train=False)
+    return ref, out, skipped
+
+
+def test_converted_tree_is_complete(parity):
+    ref, out, skipped = parity
+    live_skipped = [k for k in skipped
+                    if not any(t in k for t in (
+                        "mano_head", "joint_head", "netR_FC", "resnet.fc",
+                        "norm1", "img_ex", "dense_coor"))]
+    assert not live_skipped, f"unmapped live params: {live_skipped[:10]}"
+
+
+def test_center_heatmap_parity(parity):
+    ref, (result, params, hand_dicts, other), _ = parity
+    np.testing.assert_allclose(
+        np.asarray(other["ret"]["hm"]).transpose(0, 3, 1, 2), ref["hm"],
+        atol=2e-4)
+    np.testing.assert_allclose(
+        np.asarray(other["ret"]["wh"]).transpose(0, 3, 1, 2), ref["wh"],
+        atol=2e-4)
+
+
+def test_hms_and_mask_parity(parity):
+    ref, (result, params, hand_dicts, other), _ = parity
+    # logits with |x| up to ~50: tolerate f32 accumulation-order noise
+    np.testing.assert_allclose(
+        np.asarray(other["hms"]).transpose(0, 3, 1, 2), ref["hms"],
+        rtol=1e-4, atol=1e-3)
+    np.testing.assert_allclose(
+        np.asarray(other["mask"]).transpose(0, 3, 1, 2), ref["mask"],
+        rtol=1e-4, atol=1e-3)
+
+
+def test_mesh_outputs_parity(parity):
+    ref, (result, params, hand_dicts, other), _ = parity
+    # verts in ~0.1-unit scale; 1e-4 units = 0.1 mm budget
+    for side in ("left", "right"):
+        np.testing.assert_allclose(np.asarray(result["verts3d"][side]),
+                                   ref[f"verts3d_{side}"], atol=1e-4)
+        np.testing.assert_allclose(np.asarray(result["verts2d"][side]),
+                                   ref[f"verts2d_{side}"], atol=0.1)  # px
+        np.testing.assert_allclose(np.asarray(hand_dicts[0]["verts3d"][side]),
+                                   ref[f"gcn_verts_{side}"], atol=1e-4)
+        np.testing.assert_allclose(np.asarray(params["scale"][side]),
+                                   ref[f"scale_{side}"], atol=1e-4)
+        np.testing.assert_allclose(np.asarray(params["root"][side]),
+                                   ref[f"root_{side}"], atol=1e-4)
