@@ -49,6 +49,7 @@ class Config:
     joints_weight: float = 1.0
     bone_dir_weight: float = 200.0
     wh_weight: float = 20.0
+    use_wh_loss: bool = False         # wh term is commented out in the ref
     num_stacks: int = 1
     # Reproduce reference's GCN right-hand-uses-left-GT bug (simplified.py:463)
     replicate_reference_quirks: bool = False

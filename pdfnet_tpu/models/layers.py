@@ -102,9 +102,14 @@ class PyramidDecoder(nn.Module):
                              epsilon=1e-5, dtype=jnp.float32, name=f"bn{i}")(x)
             fmaps.append(x)
         if self.up_scale:
+            # Reference order is resize -> 1x1 conv -> resize; the per-pixel
+            # 1x1 conv commutes exactly with the spatial resizes, so apply
+            # the channel reduction first (128ch -> out_dim) and run both
+            # chained 2x resizes on the small tensor: ~64x less resize
+            # bandwidth, identical output.
             B, H, W, C = x.shape
-            y = resize_bilinear_align_corners(x, H * 2, W * 2)
-            y = nn.Conv(self.out_dim, (1, 1), dtype=self.dtype, name="head")(y)
+            y = nn.Conv(self.out_dim, (1, 1), dtype=self.dtype, name="head")(x)
+            y = resize_bilinear_align_corners(y, H * 2, W * 2)
             y = resize_bilinear_align_corners(y, H * 4, W * 4)
         else:
             y = nn.Conv(self.out_dim, (1, 1), dtype=self.dtype, name="head")(x)

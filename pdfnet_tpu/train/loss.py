@@ -90,6 +90,18 @@ def mse_per_sample(pred: jax.Array, gt: jax.Array) -> jax.Array:
     return ((pred - gt) ** 2).reshape(B, -1).mean(axis=1)
 
 
+def reg_l1_loss(output_map: jax.Array, mask: jax.Array, ind: jax.Array,
+                target: jax.Array) -> jax.Array:
+    """RegL1Loss / RegWeightedL1Loss (losses.py:479-489, :543-557): masked L1
+    on features gathered at center indices, normalized by the masked element
+    count.  output_map (B, H, W, C), mask (B, K), ind (B, K),
+    target (B, K, C)."""
+    from pdfnet_tpu.ops.gather import gather_pixels
+    pred = gather_pixels(output_map, ind)
+    m = jnp.broadcast_to(mask[..., None], pred.shape).astype(pred.dtype)
+    return jnp.abs(pred * m - target * m).sum() / (m.sum() + 1e-8)
+
+
 def face_normal_loss(pred, gt, faces) -> jax.Array:
     """Predicted edge vectors must be orthogonal to GT face normals."""
     f0, f1, f2 = faces[:, 0], faces[:, 1], faces[:, 2]
@@ -141,6 +153,58 @@ def mesh_downsample_pyramid(v1008: jax.Array, target_verts: int) -> jax.Array:
     return v
 
 
+def photometric_terms(
+    cfg: Config,
+    consts: LossConsts,
+    other: Dict[str, Any],
+    verts_abs_left: jax.Array,
+    verts_abs_right: jax.Array,
+    ind: jax.Array,
+    batch: Dict[str, jax.Array],
+) -> Tuple[jax.Array, jax.Array]:
+    """Photometric + silhouette losses from the texture/light heads.
+
+    Renders both predicted hands with SH-lit per-vertex albedo and compares
+    against the input image inside the rendered mask (origforward's
+    photometric path, simplified.py:657-1048, reimplemented on the JAX
+    rasterizer).  Returns (photometric (B,), seg (B,)).
+    """
+    from pdfnet_tpu.mano.layer import vertex_normals
+    from pdfnet_tpu.ops.gather import gather_pixels
+    from pdfnet_tpu.render.lighting import sh_illumination
+    from pdfnet_tpu.render.rasterizer import render_two_hands
+    from pdfnet_tpu.train.priors import photometric_loss as photo_l1
+    from pdfnet_tpu.train.priors import silhouette_loss
+
+    B = verts_abs_left.shape[0]
+    res = cfg.default_resolution
+    tex = gather_pixels(other["ret"]["texture"], ind)        # (B, 2, 2334)
+    light = gather_pixels(other["ret"]["light"], ind)        # (B, 2, 27)
+    tex = jax.nn.sigmoid(tex.reshape(B, 2, 778, 3))
+
+    nl = vertex_normals(verts_abs_left, consts.faces_left)
+    nr = vertex_normals(verts_abs_right, consts.faces_right)
+    col_l, _ = sh_illumination(tex[:, 0], nl, light[:, 0])
+    col_r, _ = sh_illumination(tex[:, 1], nr, light[:, 1])
+    colors = jnp.concatenate([col_l, col_r], axis=1)          # (B, 1556, 3)
+
+    def render_one(vl, vr, K, col):
+        return render_two_hands(vl, vr, K, consts.faces_left,
+                                consts.faces_right, res, res,
+                                vert_colors=jnp.clip(col, 0.0, 1.0))
+
+    rgb, mask, _ = jax.vmap(render_one)(
+        verts_abs_left, verts_abs_right, batch["K_new"], colors)
+
+    mean = jnp.asarray(cfg.mean)
+    std = jnp.asarray(cfg.std)
+    image01 = batch["input"] * std + mean                     # back to [0,1]
+    photo = photo_l1(rgb, image01, mask)
+    gt_sil = jnp.clip(batch["mask"].sum(axis=-1), 0.0, 1.0)
+    seg = silhouette_loss(mask, gt_sil)
+    return photo, seg
+
+
 def compute_loss(
     cfg: Config,
     consts: LossConsts,
@@ -166,6 +230,9 @@ def compute_loss(
     hms_loss = mse(other["hms"], batch["hms"])
     center_hm = clamped_sigmoid(other["ret"]["hm"])
     hm_loss = focal_loss(center_hm, batch["hm"])
+    wh_loss = (reg_l1_loss(other["ret"]["wh"], valid, batch["ind"],
+                           batch["wh"])
+               if cfg.use_wh_loss and "wh" in batch else jnp.zeros(()))
 
     # --- mesh ground truth ------------------------------------------------
     vl_gt, vr_gt = batch["verts_left_gt"], batch["verts_right_gt"]
@@ -264,6 +331,8 @@ def compute_loss(
     alpha = (epoch >= cfg.edge_loss_start_epoch).astype(jnp.float32)
     w = cfg.reproj_weight
     loss = cfg.center_weight * hm_loss
+    if cfg.use_wh_loss:
+        loss = loss + cfg.wh_weight * wh_loss * 0.1
     loss = loss + w * root_loss
     if cfg.reproj_loss:
         loss = loss + w * verts_loss * 500.0
@@ -280,10 +349,16 @@ def compute_loss(
         loss = loss + w * joints_loss * 500.0
         if cfg.bone_loss:
             loss = loss + cfg.bone_dir_weight * bone_loss
+    if cfg.photometric_loss:
+        photo, seg = photometric_terms(cfg, consts, other, vl_abs, vr_abs,
+                                       ind_lr, batch)
+        loss = loss + 1.0 * photo + 20.0 * seg
+        stats.update(photometric_loss=photo.mean(), seg_loss=seg.mean())
 
     total = loss.mean()
     stats.update(
-        loss=total, hm_loss=hm_loss.mean(), root_loss=root_loss.mean(),
+        loss=total, hm_loss=hm_loss.mean(), wh_loss=wh_loss,
+        root_loss=root_loss.mean(),
         verts_loss=verts_loss.mean(), abs_verts_loss=abs_verts_loss.mean(),
         verts2d_loss=verts2d_loss, norm_loss=norm_loss, edge_loss=edge_loss,
         gcn_loss=gcn_loss.mean(), gcn_2d_loss=gcn_2d_loss,
