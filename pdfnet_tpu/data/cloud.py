@@ -34,8 +34,16 @@ def sample_hand_cloud(
     num_points: int,
     rng: np.random.RandomState,
     min_pixels: int = 100,
+    use_native: bool = True,
 ) -> Tuple[np.ndarray, np.ndarray, bool]:
     """Returns (choose (N,), cloud (N, 3), ok)."""
+    if use_native:
+        from pdfnet_tpu import native
+        if native.available():
+            return native.sample_hand_cloud_native(
+                masked_depth, K, num_points,
+                seed=int(rng.randint(0, 2 ** 31)), min_pixels=min_pixels,
+                z_min=Z_MIN, z_max=Z_MAX, band=BAND)
     xyz = backproject_np(masked_depth, K).reshape(-1, 3)
     z = xyz[:, 2]
     nz = z[z != 0]

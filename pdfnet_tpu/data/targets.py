@@ -38,6 +38,11 @@ def gaussian2d(shape: Tuple[int, int], sigma: float = 1.0) -> np.ndarray:
 
 def draw_gaussian(heatmap: np.ndarray, center, radius: int, k: float = 1.0):
     """In-place max-composited gaussian splat (draw_umich_gaussian)."""
+    if k == 1.0 and heatmap.dtype == np.float32 and heatmap.flags.c_contiguous:
+        from pdfnet_tpu import native
+        if native.available():
+            native.draw_gaussian_native(heatmap, center, radius)
+            return heatmap
     diameter = 2 * radius + 1
     gaussian = gaussian2d((diameter, diameter), sigma=diameter / 6.0)
     x, y = int(center[0]), int(center[1])

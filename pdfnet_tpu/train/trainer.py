@@ -125,13 +125,15 @@ def fit(cfg: Config, train_data, eval_data=None, log_dir: str = "outputs/logs",
         start_epoch = trainer.load(cfg.load_model)
         logger.write(f"resumed from {cfg.load_model} at epoch {start_epoch}")
 
+    from pdfnet_tpu.data.prefetch import prefetch
+
     for epoch in range(start_epoch, cfg.num_epochs):
         t0 = time.time()
         gen = train_data.batches(cfg.batch_size, epoch)
         if max_steps_per_epoch:
             import itertools
             gen = itertools.islice(gen, max_steps_per_epoch)
-        means = trainer.run_epoch(epoch, gen, logger)
+        means = trainer.run_epoch(epoch, prefetch(gen, depth=2), logger)
         logger.write(f"epoch {epoch}: loss={means.get('loss', float('nan')):.3f} "
                      f"({time.time() - t0:.1f}s, lr={lr_at_epoch(cfg, epoch):.2e})")
         if eval_data is not None and (epoch + 1) % eval_every == 0:

@@ -48,9 +48,8 @@ def main():
                          approx_knn=approx, dtype=dtype)
         v = enc.init({"params": jax.random.PRNGKey(0)}, img[:1], cloud[:1],
                      choose[:1], ind[:1], False)
-        f = jax.jit(lambda im, c, ch, i: enc.apply(v, im, c, ch, i, False))
-        out = f(img, cloud, choose, ind)
-        bench(f, img, cloud, choose, ind, name=f"encoder ({label} knn)")
+        f = jax.jit(lambda vv, im, c, ch, i: enc.apply(vv, im, c, ch, i, False))
+        bench(f, v, img, cloud, choose, ind, name=f"encoder ({label} knn)")
 
     # decoder side on fixed-shape dummy features
     hms_fmaps = [jnp.zeros((B, s, s, 128), dtype) for s in (12, 24, 48, 96)]
@@ -68,13 +67,13 @@ def main():
     fm = [jnp.zeros((1, s, s, 256), jnp.float32) for s in (12, 24, 48)]
     vd = dec.init({"params": jax.random.PRNGKey(0)}, gf, gf, fm, False)
 
-    def dec_side(imf, hf, df):
-        gl, gr, fmaps = mid.apply(vm, imf, hf, df, False)
-        return dec.apply(vd, gl.astype(jnp.float32), gr.astype(jnp.float32),
+    def dec_side(vm_, vd_, imf, hf, df):
+        gl, gr, fmaps = mid.apply(vm_, imf, hf, df, False)
+        return dec.apply(vd_, gl.astype(jnp.float32), gr.astype(jnp.float32),
                          [f.astype(jnp.float32) for f in fmaps[:3]], False)
 
     f2 = jax.jit(dec_side)
-    bench(f2, img_fmaps, hms_fmaps, dp_fmaps, name="mid+gcn-decoder")
+    bench(f2, vm, vd, img_fmaps, hms_fmaps, dp_fmaps, name="mid+gcn-decoder")
 
 
 if __name__ == "__main__":
