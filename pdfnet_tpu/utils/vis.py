@@ -21,6 +21,26 @@ JOINT_COLORS = np.array([
     [120, 0, 255], [180, 0, 255], [240, 0, 255], [255, 0, 255],  # pinky
 ], np.uint8)
 
+class AverageMeter:
+    """Running mean tracker (lib/utils/utils.py:19-35)."""
+
+    def __init__(self):
+        self.reset()
+
+    def reset(self):
+        self.val = 0.0
+        self.avg = 0.0
+        self.sum = 0.0
+        self.count = 0
+
+    def update(self, val, n: int = 1):
+        self.val = val
+        self.sum += val * n
+        self.count += n
+        if self.count > 0:
+            self.avg = self.sum / self.count
+
+
 BONES = [(0, 1), (1, 2), (2, 3), (3, 4),
          (0, 5), (5, 6), (6, 7), (7, 8),
          (0, 9), (9, 10), (10, 11), (11, 12),
