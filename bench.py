@@ -51,10 +51,14 @@ def main():
     }
 
     # Initialize on CPU (fast local compile), then ship params to the chip.
+    # The init model uses the top_k knn path (Pallas can't lower on CPU);
+    # the parameter tree is identical.
+    init_model = build_model(cfg.replace(knn_method="topk",
+                                         gather_method="take"))
     cpu = jax.devices("cpu")[0]
     with jax.default_device(cpu):
         init_b = {k: v[:1] for k, v in batch.items()}
-        variables = model.init(
+        variables = init_model.init(
             {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
             init_b["input"], init_b["choose"], init_b["cloud"],
             init_b["depth"], None, init_b["K_new"], init_b["valid"],

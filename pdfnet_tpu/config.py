@@ -73,7 +73,8 @@ class Config:
     ball_radius: float = 0.015        # squared radius, level 1
     ball_radius2: float = 0.04        # squared radius, level 2
     sample_strategy: str = "random"   # random | FPS
-    approx_knn: bool = True           # TPU-optimized approx top-k neighbors
+    knn_method: str = "pallas"        # topk | approx | pallas
+    gather_method: str = "onehot"     # take | onehot
 
     # ---- GCN decoder ------------------------------------------------------
     deconv_dims: Tuple[int, ...] = (256, 256, 256, 256)

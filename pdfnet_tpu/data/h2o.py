@@ -48,7 +48,8 @@ def mano_gt_from_coeff(coeff: np.ndarray, side: str):
             coeff[None, 7:52].astype(np.float32),
             coeff[None, 52:62].astype(np.float32),
             trans=coeff[None, 1:4].astype(np.float32))
-    return np.asarray(v[0]), np.asarray(j[0])
+    # writable host copies (np.asarray over jax buffers is read-only)
+    return np.array(v[0]), np.array(j[0])
 
 
 def decode_rhd_depth(depth_img: np.ndarray) -> np.ndarray:

@@ -39,7 +39,8 @@ class FPNEncoder(nn.Module):
     ball_radius: float = 0.015
     ball_radius2: float = 0.04
     input_feature_num: int = 3
-    approx_knn: bool = False
+    knn_method: str = "topk"
+    gather_method: str = "take"
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -121,8 +122,9 @@ class FPNEncoder(nn.Module):
             num_level2=self.num_level2, ball_radius=self.ball_radius,
             ball_radius2=self.ball_radius2,
             input_feature_num=self.input_feature_num,
-            resolution=self.resolution, approx_knn=self.approx_knn,
-            dtype=self.dtype, name="pointnet")
+            resolution=self.resolution, knn_method=self.knn_method,
+            gather_method=self.gather_method, dtype=self.dtype,
+            name="pointnet")
         fuse = pointnet(cloud, pw_emb, choose, train)            # (B, 2, 1024)
 
         # SFT-condition the per-hand global point features on center features.

@@ -51,8 +51,8 @@ class HandNet(nn.Module):
             num_level1=cfg.sample_num_level1, num_level2=cfg.sample_num_level2,
             ball_radius=cfg.ball_radius, ball_radius2=cfg.ball_radius2,
             input_feature_num=cfg.input_feature_num,
-            approx_knn=cfg.approx_knn, dtype=dtype,
-            name="encoder")
+            knn_method=cfg.knn_method, gather_method=cfg.gather_method,
+            dtype=dtype, name="encoder")
 
         if choose is None or cloud is None:
             # Test-time: need the predicted mask first.  Run the encoder in

@@ -60,7 +60,8 @@ class PointNetPlus(nn.Module):
     ball_radius2: float = 0.04
     input_feature_num: int = 3
     resolution: int = 384
-    approx_knn: bool = False
+    knn_method: str = "topk"
+    gather_method: str = "take"
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -78,7 +79,8 @@ class PointNetPlus(nn.Module):
 
         grouped, centers = group_points(
             pts, k=self.knn_k, num_centers=self.num_level1,
-            radius2=self.ball_radius, approx=self.approx_knn)
+            radius2=self.ball_radius, knn_method=self.knn_method,
+            gather_method=self.gather_method)
 
         # Pyramid pixel indices at 1/2 and 1/4 resolution (integer row/col
         # halving of the flat index; intaghand_encoder.py:125-128).
@@ -99,7 +101,8 @@ class PointNetPlus(nn.Module):
 
         grouped2, centers2 = group_points_level2(
             x, num_centers=self.num_level2, k=self.knn_k,
-            radius2=self.ball_radius2, approx=self.approx_knn)
+            radius2=self.ball_radius2, knn_method=self.knn_method,
+            gather_method=self.gather_method)
         x = PointMLP(LEVEL2_MLP, self.dtype, name="mlp2")(grouped2, train)
         x = jnp.max(x, axis=2)                                      # (BH,128,256)
         x = jnp.concatenate([centers2, x], axis=-1)                 # (BH,128,259)

@@ -47,15 +47,18 @@ def knn_ball_query(
     points_xyz: jax.Array,
     k: int,
     radius2: float,
-    approx: bool = False,
+    method: str = "topk",
 ) -> Tuple[jax.Array, jax.Array]:
     """Indices of the k nearest points per center, ball-query-substituted.
 
-    ``approx`` uses the TPU-optimized ``lax.approx_max_k`` (95% recall);
-    the downstream MLP+maxpool is permutation-invariant and the ball query
-    re-validates every neighbor, so a rare missed true-neighbor only swaps
-    one in-ball point for another.  Exact ``lax.top_k`` is the default for
-    parity runs.
+    ``method``:
+      - "topk":   exact ``lax.top_k`` (parity reference).
+      - "approx": TPU-optimized ``lax.approx_max_k`` over bf16 distances
+        (~95% recall).  The downstream MLP+maxpool is permutation-invariant
+        and the ball query re-validates every neighbor, so a missed true
+        neighbor only swaps one in-ball point for another.
+      - "pallas": exact iterative-argmin Pallas kernel (ops/pallas_knn.py);
+        identical selection to "topk", no per-row sort.
 
     Returns:
       idx: (B, S, K) int32 point indices; out-of-ball neighbors are replaced
@@ -63,16 +66,48 @@ def knn_ball_query(
       valid: (B, S, K) bool, False where the substitution happened.
     """
     S = centers_xyz.shape[1]
-    d2 = _pairwise_sqdist(centers_xyz, points_xyz)          # (B, S, N)
-    if approx:
-        neg_dist, idx = jax.lax.approx_max_k(-d2, k, recall_target=0.95)
+    if method == "pallas":
+        from pdfnet_tpu.ops.pallas_knn import TILE_S
+        # The kernel needs 128-aligned center tiles and a real TPU backend;
+        # fall back to the identical-result top_k path otherwise.
+        if S % TILE_S != 0 or jax.default_backend() != "tpu":
+            method = "topk"
+    if method == "pallas":
+        from pdfnet_tpu.ops.pallas_knn import knn_pallas
+        # Selection is non-differentiable (indices + a radius comparison);
+        # stop_gradient keeps autodiff from needing a Pallas transpose rule.
+        dist, idx = knn_pallas(jax.lax.stop_gradient(centers_xyz),
+                               jax.lax.stop_gradient(points_xyz), k)
     else:
-        neg_dist, idx = jax.lax.top_k(-d2, k)               # ascending distance
-    dist = -neg_dist
+        d2 = _pairwise_sqdist(centers_xyz, points_xyz)      # (B, S, N)
+        if method == "approx":
+            neg_dist, idx = jax.lax.approx_max_k(
+                -d2.astype(jnp.bfloat16), k, recall_target=0.95)
+            neg_dist = neg_dist.astype(jnp.float32)
+        else:
+            neg_dist, idx = jax.lax.top_k(-d2, k)           # ascending distance
+        dist = -neg_dist
     valid = dist <= radius2
     center_idx = jnp.arange(S, dtype=idx.dtype)[None, :, None]
     idx = jnp.where(valid, idx, center_idx)
     return idx.astype(jnp.int32), valid
+
+
+def _gather_neighbors(feat: jax.Array, idx: jax.Array,
+                      method: str = "take") -> jax.Array:
+    """Gather (B, N, C) rows into (B, S, K, C) neighborhoods.
+
+    "onehot" expresses the gather as a one-hot matmul — ~5x faster than
+    XLA's row gather on TPU.  Each output row sums exactly one nonzero
+    product, so for features already in the matmul dtype it is bit-exact.
+    """
+    B, S, K = idx.shape
+    if method == "onehot":
+        N = feat.shape[1]
+        oh = jax.nn.one_hot(idx.reshape(B, S * K), N, dtype=feat.dtype)
+        g = jnp.einsum("bmn,bnc->bmc", oh, feat)
+        return g.reshape(B, S, K, feat.shape[-1])
+    return jnp.take_along_axis(feat[:, :, None, :], idx[..., None], axis=1)
 
 
 def group_points(
@@ -80,7 +115,8 @@ def group_points(
     k: int = 64,
     num_centers: int = 512,
     radius2: float = 0.015,
-    approx: bool = False,
+    knn_method: str = "topk",
+    gather_method: str = "take",
 ) -> Tuple[jax.Array, jax.Array]:
     """Level-1 grouping.  points: (B, N, C) with xyz in the first 3 channels.
 
@@ -93,10 +129,10 @@ def group_points(
       centers: (B, S, 3) center coordinates.
     """
     centers = points[:, :num_centers, :3]
-    idx, _ = knn_ball_query(centers, points[..., :3], k, radius2, approx)
-    grouped = jnp.take_along_axis(
-        points[:, :, None, :], idx[..., None], axis=1)       # (B, S, K, C)
-    grouped = grouped.at[..., :3].add(-centers[:, :, None, :])
+    idx, _ = knn_ball_query(centers, points[..., :3], k, radius2, knn_method)
+    grouped = _gather_neighbors(points, idx, gather_method)  # (B, S, K, C)
+    grouped = jnp.concatenate(
+        [grouped[..., :3] - centers[:, :, None, :], grouped[..., 3:]], -1)
     return grouped, centers
 
 
@@ -105,7 +141,8 @@ def group_points_level2(
     num_centers: int = 128,
     k: int = 64,
     radius2: float = 0.04,
-    approx: bool = False,
+    knn_method: str = "topk",
+    gather_method: str = "take",
 ) -> Tuple[jax.Array, jax.Array]:
     """Level-2 grouping over already-abstracted points.
 
@@ -117,7 +154,8 @@ def group_points_level2(
       centers: (B, S2, 3).
     """
     centers = feat[:, :num_centers, :3]
-    idx, _ = knn_ball_query(centers, feat[..., :3], k, radius2, approx)
-    grouped = jnp.take_along_axis(feat[:, :, None, :], idx[..., None], axis=1)
-    grouped = grouped.at[..., :3].add(-centers[:, :, None, :])
+    idx, _ = knn_ball_query(centers, feat[..., :3], k, radius2, knn_method)
+    grouped = _gather_neighbors(feat, idx, gather_method)
+    grouped = jnp.concatenate(
+        [grouped[..., :3] - centers[:, :, None, :], grouped[..., 3:]], -1)
     return grouped, centers

@@ -1,0 +1,103 @@
+"""Pallas TPU kernel: fused pairwise-distance + k-nearest selection.
+
+The set-abstraction grouping needs, per sampling center, the k=64 nearest of
+N=1024 candidate points.  XLA's ``lax.top_k`` sorts each 1024-row — far more
+work than needed for k<<N.  This kernel keeps a center-tile's distance row
+resident in VMEM and runs k iterative masked argmin passes on the VPU
+(k*N element ops per row, no sort, no HBM round-trips).
+
+Layout: coordinates arrive transposed (3, N) / (3, S) so the lane dimension
+is the point axis (128-aligned); the distance tile is (TILE_S, N).
+
+Exactness: identical selection set to ``lax.top_k(-d², k)`` (ascending
+distance, first-index tie-break), so the ball-query semantics downstream are
+unchanged.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+TILE_S = 128
+
+
+def _knn_kernel(points_ref, centers_ref, idx_ref, dist_ref, *, k: int,
+                n_points: int):
+    # blocks: points (1, 3, N); centers (1, 3, TILE_S); outputs (1, TILE_S, k)
+    px = points_ref[0, 0, :]                   # (N,)
+    py = points_ref[0, 1, :]
+    pz = points_ref[0, 2, :]
+    cx = centers_ref[0, 0, :]                  # (TILE_S,)
+    cy = centers_ref[0, 1, :]
+    cz = centers_ref[0, 2, :]
+
+    dx = cx[:, None] - px[None, :]             # (TILE_S, N)
+    dy = cy[:, None] - py[None, :]
+    dz = cz[:, None] - pz[None, :]
+    d = dx * dx + dy * dy + dz * dz
+
+    col = jax.lax.broadcasted_iota(jnp.int32, d.shape, 1)
+
+    # Static unrolled selection: outputs are written transposed (k, TILE_S)
+    # so each iteration stores one sublane row (Mosaic forbids single-lane
+    # dynamic writes).
+    dcur = d
+    for j in range(k):
+        m = jnp.min(dcur, axis=1)                              # (TILE_S,)
+        # first index attaining the minimum (top_k tie-break)
+        is_min = dcur == m[:, None]
+        arg = jnp.min(jnp.where(is_min, col, n_points), axis=1)
+        idx_ref[0, j, :] = arg
+        dist_ref[0, j, :] = m
+        # mask out the selected column per row
+        dcur = jnp.where(col == arg[:, None], jnp.inf, dcur)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "interpret"))
+def knn_pallas(centers: jax.Array, points: jax.Array, k: int = 64,
+               interpret: bool = False):
+    """k nearest points per center.
+
+    Args:
+      centers: (B, S, 3) query centers (S a multiple of 128).
+      points: (B, N, 3) candidate points.
+      k: neighbor count.
+
+    Returns:
+      (dist (B, S, k) squared distances ascending, idx (B, S, k) int32).
+    """
+    B, S, _ = centers.shape
+    N = points.shape[1]
+    assert S % TILE_S == 0, f"S={S} must be a multiple of {TILE_S}"
+
+    pts_t = points.transpose(0, 2, 1)          # (B, 3, N)
+    ctr_t = centers.transpose(0, 2, 1)         # (B, 3, S)
+
+    grid = (B, S // TILE_S)
+    idx, dist = pl.pallas_call(
+        functools.partial(_knn_kernel, k=k, n_points=N),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 3, N), lambda b, s: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3, TILE_S), lambda b, s: (b, 0, s),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, k, TILE_S), lambda b, s: (b, 0, s),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, k, TILE_S), lambda b, s: (b, 0, s),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, k, S), jnp.int32),
+            jax.ShapeDtypeStruct((B, k, S), jnp.float32),
+        ],
+        interpret=interpret,
+    )(pts_t, ctr_t)
+    return dist.transpose(0, 2, 1), idx.transpose(0, 2, 1)

@@ -30,7 +30,7 @@ def parity():
 
     variables, skipped = convert_state_dict(state, verbose=False)
     cfg = Config(default_resolution=384, compute_dtype="float32",
-                 approx_knn=False, dropout=0.0)
+                 knn_method="topk", gather_method="take", dropout=0.0)
     model = build_model(cfg)
     out = model.apply(
         {"params": variables["params"],

@@ -1,0 +1,133 @@
+"""H2O dataset reader test against a generated on-disk fixture.
+
+Builds a miniature H2O-format tree (rgb/depth/mask pngs + annotation cache
+pickle) from MANO ground truth, then exercises the full reader: MANO GT
+synthesis, two-stage warps with intrinsics update, mask binarization,
+cloud sampling, CenterNet targets.
+"""
+
+import os
+import pickle
+
+import cv2
+import numpy as np
+import pytest
+
+from pdfnet_tpu.config import Config
+from pdfnet_tpu.mano import layer as mano
+
+
+@pytest.fixture(scope="module")
+def h2o_tree(tmp_path_factory):
+    root = tmp_path_factory.mktemp("h2o")
+    img_dir = root / "H2O" / "subject1" / "rgb"
+    depth_dir = root / "H2O" / "subject1" / "depth"
+    mask_dir = root / "H2O" / "subject1" / "mask"
+    for d in (img_dir, depth_dir, mask_dir):
+        os.makedirs(d)
+
+    H, W = 480, 640
+    K = np.array([[520.0, 0, 320], [0, 520.0, 240], [0, 0, 1]], np.float32)
+    records = []
+    rng = np.random.RandomState(0)
+    for i in range(3):
+        coeff = np.zeros(124, np.float32)
+        joints_all, lms_all = [], []
+        img = np.full((H, W, 3), 60, np.uint8)
+        depth_mm = np.zeros((H, W), np.uint16)
+        mask = np.zeros((H, W, 3), np.uint8)
+        for h, (side, xo) in enumerate((("left", -0.09), ("right", 0.06))):
+            o = 62 * h
+            coeff[o] = 1.0                                   # valid
+            coeff[o + 1:o + 4] = [xo, 0.0, 0.55]             # trans
+            coeff[o + 4:o + 7] = rng.uniform(-0.3, 0.3, 3)   # orient
+            coeff[o + 7:o + 52] = rng.uniform(-0.2, 0.2, 45)
+            coeff[o + 52:o + 62] = rng.uniform(-0.5, 0.5, 10)
+            c = mano.load_mano_consts(side)
+            v, j = mano.mano_forward(
+                c, coeff[None, o + 4:o + 7], coeff[None, o + 7:o + 52],
+                coeff[None, o + 52:o + 62], trans=coeff[None, o + 1:o + 4])
+            v, j = np.asarray(v[0]), np.asarray(j[0])
+            joints_all.append(j)
+            pj = j @ K.T
+            lms_all.append(pj[:, :2] / pj[:, 2:])
+            pv = v @ K.T
+            uv = (pv[:, :2] / pv[:, 2:]).astype(int)
+            okm = (uv[:, 0] >= 2) & (uv[:, 0] < W - 2) & \
+                  (uv[:, 1] >= 2) & (uv[:, 1] < H - 2)
+            for (x, y), z in zip(uv[okm], v[okm, 2]):
+                depth_mm[y - 2:y + 3, x - 2:x + 3] = int(z * 1000)
+                # G channel codes right hand, R channel codes left
+                mask[y - 2:y + 3, x - 2:x + 3, 1 if side == "right" else 2] = 255
+                img[y - 2:y + 3, x - 2:x + 3] = (180, 140, 120)
+        cv2.imwrite(str(img_dir / f"{i:06d}.png"), img)
+        cv2.imwrite(str(depth_dir / f"{i:06d}.png"), depth_mm)
+        cv2.imwrite(str(mask_dir / f"{i:06d}.png"), mask)
+        records.append({
+            "imgpath": f"subject1/rgb/{i:06d}.png",
+            "depthpath": f"subject1/depth/{i:06d}.png",
+            "mano_coeff": coeff,
+            "lms": np.concatenate(lms_all).astype(np.float32),
+            "joints": np.concatenate(joints_all).astype(np.float32),
+            "K": K,
+            "id": 1,
+        })
+    with open(root / "H2O_train.pkl", "wb") as f:
+        pickle.dump(records, f)
+    with open(root / "H2O_test.pkl", "wb") as f:
+        pickle.dump(records, f)
+    return str(root)
+
+
+def _cfg(h2o_tree, **kw):
+    return Config(cache_path=h2o_tree, pre_fix=h2o_tree,
+                  sample_num=256, **kw)
+
+
+def test_h2o_sample_structure(h2o_tree):
+    from pdfnet_tpu.data.h2o import H2ODataset
+    ds = H2ODataset(_cfg(h2o_tree), "train")
+    # train adds the val cache only when present; we wrote none -> 3 records
+    assert len(ds) == 3
+
+
+def test_h2o_getitem_keys_and_consistency(h2o_tree):
+    from pdfnet_tpu.data.h2o import H2ODataset
+    cfg = _cfg(h2o_tree)
+    ds = H2ODataset(cfg, "test")   # deterministic: no aug
+    s = ds[0]
+    res = cfg.default_resolution
+    assert s["input"].shape == (res, res, 3)
+    assert s["depth"].shape == (res, res)
+    assert s["cloud"].shape == (2, cfg.sample_num, 3)
+    assert s["mask"].shape == (res, res, 2)
+    assert s["verts_left_gt"].shape == (778, 3)
+    assert s["hm"].shape == (res // 4, res // 4, 2)
+    assert (s["ind"] >= 0).all() and (s["ind"] < (res // 4) ** 2).all()
+    assert np.isfinite(s["input"]).all()
+    # geometric consistency: projected GT joints == stored landmarks
+    j = s["joints_left_gt"]
+    pj = j @ s["K_new"].T
+    lms = pj[:, :2] / pj[:, 2:]
+    np.testing.assert_allclose(lms, s["lms_left_gt"], atol=0.5)
+    # clouds come from the hand region depth band
+    for h in range(2):
+        if s["valid"][h]:
+            z = s["cloud"][h][:, 2]
+            assert 0.4 < z[z > 0].mean() < 0.7
+    # masks exclusive-ish and nonzero
+    assert s["mask"].sum() > 0
+
+
+def test_h2o_train_augmentation_runs(h2o_tree):
+    from pdfnet_tpu.data.h2o import H2ODataset
+    ds = H2ODataset(_cfg(h2o_tree), "train")
+    batch = next(iter(ds.batches(2, epoch=0)))
+    assert batch["input"].shape[0] == 2
+    assert np.isfinite(batch["joints_left_gt"]).all()
+    # aug consistency: GT joints still project onto stored landmarks
+    for b in range(2):
+        j = batch["joints_right_gt"][b]
+        pj = j @ batch["K_new"][b].T
+        lms = pj[:, :2] / pj[:, 2:]
+        np.testing.assert_allclose(lms, batch["lms_right_gt"][b], atol=1.0)

@@ -43,9 +43,9 @@ def main():
     cfg = Config(compute_dtype="bfloat16")
     dtype = jnp.bfloat16
 
-    for label, approx in (("approx", True), ("exact", False)):
+    for label, method in (("pallas", "pallas"), ("approx", "approx")):
         enc = FPNEncoder(heads=cfg.heads, fmap_dim=cfg.fmap_dim,
-                         approx_knn=approx, dtype=dtype)
+                         knn_method=method, gather_method="onehot", dtype=dtype)
         v = enc.init({"params": jax.random.PRNGKey(0)}, img[:1], cloud[:1],
                      choose[:1], ind[:1], False)
         f = jax.jit(lambda vv, im, c, ch, i: enc.apply(vv, im, c, ch, i, False))
