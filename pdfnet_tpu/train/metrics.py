@@ -65,12 +65,22 @@ class MetricAccumulator:
         c = max(self.count, 1)
         return {k: v / c for k, v in self.sums.items()}
 
+    # reference H2O-val.txt line names (base_trainer.py:420-429)
+    _REF_NAMES = (("abs_left_joints_loss_all", "abs_mpjpe_left"),
+                  ("abs_right_joints_loss_all", "abs_mpjpe_right"),
+                  ("abs_left_verts_loss_all", "abs_mpvpe_left"),
+                  ("abs_right_verts_loss_all", "abs_mpvpe_right"),
+                  ("off_left_joints_loss_all", "off_mpjpe_left"),
+                  ("off_right_joints_loss_all", "off_mpjpe_right"),
+                  ("off_left_verts_loss_all", "off_mpvpe_left"),
+                  ("off_right_verts_loss_all", "off_mpvpe_right"))
+
     def format_block(self, tag: str = "") -> str:
-        """H2O-val.txt-style eval block."""
+        """Eval block in the exact reference H2O-val.txt format."""
         r = self.result()
-        lines = [f"evaluation results {tag}:".rstrip() + ":"]
-        for k in self.KEYS:
-            lines.append(f"   {k}: {r[k]:.2f}")
+        lines = ["eval "]
+        for ref_name, key in self._REF_NAMES:
+            lines.append(f"{ref_name}: {r[key]:.2f}")
         return "\n".join(lines) + "\n"
 
     def write_h2o_submission(self, path: str) -> None:

@@ -88,7 +88,7 @@ def test_eval_step_and_metrics(setup):
     # untrained net: errors should be large but bounded
     assert r["abs_mpjpe_left"] > 1.0
     block = acc.format_block("test")
-    assert "abs_mpjpe_left" in block
+    assert "abs_left_joints_loss_all" in block   # reference H2O-val.txt names
 
 
 def test_lr_schedule():
