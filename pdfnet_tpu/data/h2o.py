@@ -254,6 +254,9 @@ class H2ODataset:
             "ind": tgt["ind"],
             "valid": tgt["valid"],
             "mask": mask_bin.astype(np.float32),
+            "mask_left_gt": mask_left.astype(np.float32),
+            "mask_right_gt": mask_right.astype(np.float32),
+            "lms": lms.astype(np.float32),
             "K_new": K_img.astype(np.float32),
             "lms_left_gt": hand["left"]["joints2d"].astype(np.float32),
             "lms_right_gt": hand["right"]["joints2d"].astype(np.float32),

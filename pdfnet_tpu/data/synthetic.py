@@ -101,6 +101,9 @@ def make_sample(cfg: Config, seed: int) -> Dict[str, np.ndarray]:
         "hm": tgt["hm"], "hms": tgt["hms"], "wh": tgt["wh"],
         "ind": tgt["ind"], "valid": valid,
         "mask": mask.astype(np.float32),
+        "mask_left_gt": m_l.astype(np.float32),
+        "mask_right_gt": m_r.astype(np.float32),
+        "lms": np.concatenate([lms["left"], lms["right"]]).astype(np.float32),
         "K_new": K,
         "lms_left_gt": lms["left"], "lms_right_gt": lms["right"],
         "joints_left_gt": joints["left"].astype(np.float32),

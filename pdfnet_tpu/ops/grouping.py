@@ -102,6 +102,9 @@ def _gather_neighbors(feat: jax.Array, idx: jax.Array,
     product, so for features already in the matmul dtype it is bit-exact.
     """
     B, S, K = idx.shape
+    # One-hot beats XLA's row gather at every feature width measured (the
+    # gather lowers to per-row DMA); the one-hot operand is (B, S*K, N)
+    # though, so very large batches can spill — prefer batch <= 64 per chip.
     if method == "onehot":
         N = feat.shape[1]
         oh = jax.nn.one_hot(idx.reshape(B, S * K), N, dtype=feat.dtype)
