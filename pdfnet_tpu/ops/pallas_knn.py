@@ -58,6 +58,42 @@ def _knn_kernel(points_ref, centers_ref, idx_ref, dist_ref, *, k: int,
         dcur = jnp.where(col == arg[:, None], jnp.inf, dcur)
 
 
+def _knn_gather_kernel(points_ref, centers_ref, idx_ref, dist_ref,
+                       nx_ref, ny_ref, nz_ref, *, k: int, n_points: int):
+    """kNN selection + fused neighborhood extraction.
+
+    Also emits the selected neighbors' center-relative xyz — the level-1
+    grouping output — straight from the distance components already in
+    VMEM, so no separate gather pass touches HBM.
+    """
+    px = points_ref[0, 0, :]
+    py = points_ref[0, 1, :]
+    pz = points_ref[0, 2, :]
+    cx = centers_ref[0, 0, :]
+    cy = centers_ref[0, 1, :]
+    cz = centers_ref[0, 2, :]
+
+    dx = px[None, :] - cx[:, None]             # centered x: p - c
+    dy = py[None, :] - cy[:, None]
+    dz = pz[None, :] - cz[:, None]
+    d = dx * dx + dy * dy + dz * dz
+
+    col = jax.lax.broadcasted_iota(jnp.int32, d.shape, 1)
+    dcur = d
+    for j in range(k):
+        m = jnp.min(dcur, axis=1)
+        is_min = dcur == m[:, None]
+        arg = jnp.min(jnp.where(is_min, col, n_points), axis=1)
+        sel = col == arg[:, None]
+        idx_ref[0, j, :] = arg
+        dist_ref[0, j, :] = m
+        zero = jnp.zeros_like(dx)
+        nx_ref[0, j, :] = jnp.sum(jnp.where(sel, dx, zero), axis=1)
+        ny_ref[0, j, :] = jnp.sum(jnp.where(sel, dy, zero), axis=1)
+        nz_ref[0, j, :] = jnp.sum(jnp.where(sel, dz, zero), axis=1)
+        dcur = jnp.where(sel, jnp.inf, dcur)
+
+
 @functools.partial(jax.jit, static_argnames=("k", "interpret"))
 def knn_pallas(centers: jax.Array, points: jax.Array, k: int = 64,
                interpret: bool = False):
@@ -101,3 +137,45 @@ def knn_pallas(centers: jax.Array, points: jax.Array, k: int = 64,
         interpret=interpret,
     )(pts_t, ctr_t)
     return dist.transpose(0, 2, 1), idx.transpose(0, 2, 1)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "interpret"))
+def knn_gather_xyz_pallas(centers: jax.Array, points: jax.Array, k: int = 64,
+                          interpret: bool = False):
+    """Fused kNN + centered-neighborhood extraction.
+
+    Returns (dist (B, S, k), idx (B, S, k) int32,
+    neighbors_xyz (B, S, k, 3) center-relative) — the complete level-1
+    grouping (before ball-query substitution) in one kernel.
+    """
+    B, S, _ = centers.shape
+    N = points.shape[1]
+    assert S % TILE_S == 0, f"S={S} must be a multiple of {TILE_S}"
+
+    pts_t = points.transpose(0, 2, 1)
+    ctr_t = centers.transpose(0, 2, 1)
+    grid = (B, S // TILE_S)
+    out_spec = pl.BlockSpec((1, k, TILE_S), lambda b, s: (b, 0, s),
+                            memory_space=pltpu.VMEM)
+    idx, dist, nx, ny, nz = pl.pallas_call(
+        functools.partial(_knn_gather_kernel, k=k, n_points=N),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 3, N), lambda b, s: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3, TILE_S), lambda b, s: (b, 0, s),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[out_spec] * 5,
+        out_shape=[
+            jax.ShapeDtypeStruct((B, k, S), jnp.int32),
+            jax.ShapeDtypeStruct((B, k, S), jnp.float32),
+            jax.ShapeDtypeStruct((B, k, S), jnp.float32),
+            jax.ShapeDtypeStruct((B, k, S), jnp.float32),
+            jax.ShapeDtypeStruct((B, k, S), jnp.float32),
+        ],
+        interpret=interpret,
+    )(pts_t, ctr_t)
+    nbr = jnp.stack([nx, ny, nz], axis=-1)         # (B, k, S, 3)
+    return (dist.transpose(0, 2, 1), idx.transpose(0, 2, 1),
+            nbr.transpose(0, 2, 1, 3))

@@ -155,3 +155,42 @@ def test_depth_normals_flat_plane():
     n = np.asarray(ops.depth_normals(pts))
     inner = n[8:-8, 8:-8]  # away from the zero-padded border
     assert np.all(np.abs(inner[..., 2]) > 0.99)
+
+
+def test_fused_pallas_grouping_interpret():
+    """Fused kernel output == generic grouping path (interpret mode)."""
+    from pdfnet_tpu.ops.pallas_knn import knn_gather_xyz_pallas
+
+    rng = np.random.RandomState(5)
+    B, N, S, K = 2, 256, 128, 16
+    r2 = 0.015
+    pts = jnp.asarray(rng.normal(0, 0.05, (B, N, 3)).astype(np.float32))
+    dist, idx, nbr = knn_gather_xyz_pallas(pts[:, :S], pts, K, interpret=True)
+    grouped_fused = jnp.where((dist <= r2)[..., None], nbr, 0.0)
+    grouped_ref, centers = ops.group_points(pts, k=K, num_centers=S,
+                                            radius2=r2)
+    np.testing.assert_allclose(np.asarray(grouped_fused),
+                               np.asarray(grouped_ref), atol=1e-6)
+
+
+def test_fused_grouping_backward_matches_autodiff():
+    """Custom VJP of the fused grouping == autodiff of the generic path."""
+    from pdfnet_tpu.ops import grouping
+
+    rng = np.random.RandomState(6)
+    B, N, S, K = 1, 64, 32, 8
+    r2 = 0.02
+    pts = jnp.asarray(rng.normal(0, 0.05, (B, N, 3)).astype(np.float32))
+    g = jnp.asarray(rng.randn(B, S, K, 3).astype(np.float32))
+
+    def generic(p):
+        grouped, _ = grouping.group_points(p, k=K, num_centers=S, radius2=r2)
+        return jnp.sum(grouped * g)
+
+    d_ref = jax.grad(generic)(pts)
+
+    idx, valid = grouping.knn_ball_query(pts[:, :S], pts, K, r2, "topk")
+    d_fused = grouping._fused_group_bwd(K, S, r2, (idx, valid, pts.shape),
+                                        g)[0]
+    np.testing.assert_allclose(np.asarray(d_fused), np.asarray(d_ref),
+                               atol=1e-5)
