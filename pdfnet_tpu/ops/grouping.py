@@ -21,10 +21,14 @@ neighbor order (ties/sort order of top-k) does not affect the model.
 
 from __future__ import annotations
 
+from functools import partial
 from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+
+# test hook: run the fused kernel in interpreter mode off-TPU
+_FUSED_INTERPRET = False
 
 
 def _pairwise_sqdist(centers: jax.Array, points: jax.Array) -> jax.Array:
@@ -66,6 +70,8 @@ def knn_ball_query(
       valid: (B, S, K) bool, False where the substitution happened.
     """
     S = centers_xyz.shape[1]
+    if method == "pallas_fused":
+        method = "pallas"          # same selection; fusion applies upstream
     if method == "pallas":
         from pdfnet_tpu.ops.pallas_knn import TILE_S
         # The kernel needs 128-aligned center tiles and a real TPU backend;
@@ -132,22 +138,19 @@ def group_points(
       centers: (B, S, 3) center coordinates.
     """
     centers = points[:, :num_centers, :3]
+    from pdfnet_tpu.ops.pallas_knn import TILE_S
     if (knn_method == "pallas_fused" and points.shape[-1] == 3
-            and num_centers % 128 == 0 and jax.default_backend() == "tpu"):
+            and num_centers % TILE_S == 0
+            and (jax.default_backend() == "tpu" or _FUSED_INTERPRET)):
         # Fully fused selection+gather+center-subtract: ~2% slower than
         # pallas+one-hot at batch 32 but avoids the (B, S*K, N) one-hot HBM
         # blob entirely — use for large per-chip batches.
         return _fused_group_pallas(points, k, num_centers, radius2), centers
-    if knn_method == "pallas_fused":
-        knn_method = "pallas"
     idx, _ = knn_ball_query(centers, points[..., :3], k, radius2, knn_method)
     grouped = _gather_neighbors(points, idx, gather_method)  # (B, S, K, C)
     grouped = jnp.concatenate(
         [grouped[..., :3] - centers[:, :, None, :], grouped[..., 3:]], -1)
     return grouped, centers
-
-
-from functools import partial
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
@@ -162,7 +165,8 @@ def _fused_group_fwd(points, k, num_centers, radius2):
     from pdfnet_tpu.ops.pallas_knn import knn_gather_xyz_pallas
     centers = points[:, :num_centers, :3]
     dist, idx, nbr = knn_gather_xyz_pallas(
-        jax.lax.stop_gradient(centers), jax.lax.stop_gradient(points), k)
+        jax.lax.stop_gradient(centers), jax.lax.stop_gradient(points), k,
+        interpret=_FUSED_INTERPRET)
     valid = dist <= radius2
     grouped = jnp.where(valid[..., None], nbr, 0.0)
     return grouped, (idx, valid, points.shape)
@@ -180,9 +184,7 @@ def _fused_group_bwd(k, num_centers, radius2, res, g):
     return (d_points,)
 
 
-_fused_group_pallas.defvjp(
-    lambda p, k, n, r: _fused_group_fwd(p, k, n, r),
-    _fused_group_bwd)
+_fused_group_pallas.defvjp(_fused_group_fwd, _fused_group_bwd)
 
 
 def group_points_level2(

@@ -6,8 +6,16 @@ work than needed for k<<N.  This kernel keeps a center-tile's distance row
 resident in VMEM and runs k iterative masked argmin passes on the VPU
 (k*N element ops per row, no sort, no HBM round-trips).
 
+Two variants share one selection loop:
+- ``knn_pallas``: distances + indices (generic, any downstream gather).
+- ``knn_gather_xyz_pallas``: additionally emits the selected neighbors'
+  center-relative xyz straight from the distance components in VMEM — the
+  complete level-1 grouping with zero extra HBM traffic.
+
 Layout: coordinates arrive transposed (3, N) / (3, S) so the lane dimension
-is the point axis (128-aligned); the distance tile is (TILE_S, N).
+is the point axis (128-aligned); outputs are written transposed (k, TILE_S)
+because Mosaic forbids single-lane dynamic writes, and untransposed on the
+way out.
 
 Exactness: identical selection set to ``lax.top_k(-d², k)`` (ascending
 distance, first-index tie-break), so the ball-query semantics downstream are
@@ -26,72 +34,86 @@ from jax.experimental.pallas import tpu as pltpu
 TILE_S = 128
 
 
-def _knn_kernel(points_ref, centers_ref, idx_ref, dist_ref, *, k: int,
-                n_points: int):
-    # blocks: points (1, 3, N); centers (1, 3, TILE_S); outputs (1, TILE_S, k)
-    px = points_ref[0, 0, :]                   # (N,)
-    py = points_ref[0, 1, :]
-    pz = points_ref[0, 2, :]
-    cx = centers_ref[0, 0, :]                  # (TILE_S,)
-    cy = centers_ref[0, 1, :]
-    cz = centers_ref[0, 2, :]
+def _select_loop(d, k, n_points, emit):
+    """k iterative masked-argmin passes over d (TILE_S, N).
 
-    dx = cx[:, None] - px[None, :]             # (TILE_S, N)
-    dy = cy[:, None] - py[None, :]
-    dz = cz[:, None] - pz[None, :]
-    d = dx * dx + dy * dy + dz * dz
-
+    ``emit(j, arg, min_dist, sel_mask)`` stores iteration j's outputs.
+    """
     col = jax.lax.broadcasted_iota(jnp.int32, d.shape, 1)
-
-    # Static unrolled selection: outputs are written transposed (k, TILE_S)
-    # so each iteration stores one sublane row (Mosaic forbids single-lane
-    # dynamic writes).
     dcur = d
     for j in range(k):
         m = jnp.min(dcur, axis=1)                              # (TILE_S,)
         # first index attaining the minimum (top_k tie-break)
         is_min = dcur == m[:, None]
         arg = jnp.min(jnp.where(is_min, col, n_points), axis=1)
+        sel = col == arg[:, None]
+        emit(j, arg, m, sel)
+        dcur = jnp.where(sel, jnp.inf, dcur)                   # mask selected
+
+
+def _coords(points_ref, centers_ref):
+    px = points_ref[0, 0, :]                   # (N,)
+    py = points_ref[0, 1, :]
+    pz = points_ref[0, 2, :]
+    cx = centers_ref[0, 0, :]                  # (TILE_S,)
+    cy = centers_ref[0, 1, :]
+    cz = centers_ref[0, 2, :]
+    dx = px[None, :] - cx[:, None]             # centered x: p - c
+    dy = py[None, :] - cy[:, None]
+    dz = pz[None, :] - cz[:, None]
+    return dx, dy, dz
+
+
+def _knn_kernel(points_ref, centers_ref, idx_ref, dist_ref, *, k: int,
+                n_points: int):
+    dx, dy, dz = _coords(points_ref, centers_ref)
+    d = dx * dx + dy * dy + dz * dz
+
+    def emit(j, arg, m, sel):
         idx_ref[0, j, :] = arg
         dist_ref[0, j, :] = m
-        # mask out the selected column per row
-        dcur = jnp.where(col == arg[:, None], jnp.inf, dcur)
+
+    _select_loop(d, k, n_points, emit)
 
 
 def _knn_gather_kernel(points_ref, centers_ref, idx_ref, dist_ref,
                        nx_ref, ny_ref, nz_ref, *, k: int, n_points: int):
-    """kNN selection + fused neighborhood extraction.
-
-    Also emits the selected neighbors' center-relative xyz — the level-1
-    grouping output — straight from the distance components already in
-    VMEM, so no separate gather pass touches HBM.
-    """
-    px = points_ref[0, 0, :]
-    py = points_ref[0, 1, :]
-    pz = points_ref[0, 2, :]
-    cx = centers_ref[0, 0, :]
-    cy = centers_ref[0, 1, :]
-    cz = centers_ref[0, 2, :]
-
-    dx = px[None, :] - cx[:, None]             # centered x: p - c
-    dy = py[None, :] - cy[:, None]
-    dz = pz[None, :] - cz[:, None]
+    dx, dy, dz = _coords(points_ref, centers_ref)
     d = dx * dx + dy * dy + dz * dz
+    zero = jnp.zeros_like(dx)
 
-    col = jax.lax.broadcasted_iota(jnp.int32, d.shape, 1)
-    dcur = d
-    for j in range(k):
-        m = jnp.min(dcur, axis=1)
-        is_min = dcur == m[:, None]
-        arg = jnp.min(jnp.where(is_min, col, n_points), axis=1)
-        sel = col == arg[:, None]
+    def emit(j, arg, m, sel):
         idx_ref[0, j, :] = arg
         dist_ref[0, j, :] = m
-        zero = jnp.zeros_like(dx)
         nx_ref[0, j, :] = jnp.sum(jnp.where(sel, dx, zero), axis=1)
         ny_ref[0, j, :] = jnp.sum(jnp.where(sel, dy, zero), axis=1)
         nz_ref[0, j, :] = jnp.sum(jnp.where(sel, dz, zero), axis=1)
-        dcur = jnp.where(sel, jnp.inf, dcur)
+
+    _select_loop(d, k, n_points, emit)
+
+
+def _call(kernel, n_outputs, centers, points, k, interpret):
+    B, S, _ = centers.shape
+    N = points.shape[1]
+    assert S % TILE_S == 0, f"S={S} must be a multiple of {TILE_S}"
+    pts_t = points.transpose(0, 2, 1)          # (B, 3, N)
+    ctr_t = centers.transpose(0, 2, 1)         # (B, 3, S)
+    out_spec = pl.BlockSpec((1, k, TILE_S), lambda b, s: (b, 0, s),
+                            memory_space=pltpu.VMEM)
+    dtypes = [jnp.int32] + [jnp.float32] * (n_outputs - 1)
+    return pl.pallas_call(
+        functools.partial(kernel, k=k, n_points=N),
+        grid=(B, S // TILE_S),
+        in_specs=[
+            pl.BlockSpec((1, 3, N), lambda b, s: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3, TILE_S), lambda b, s: (b, 0, s),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[out_spec] * n_outputs,
+        out_shape=[jax.ShapeDtypeStruct((B, k, S), dt) for dt in dtypes],
+        interpret=interpret,
+    )(pts_t, ctr_t)
 
 
 @functools.partial(jax.jit, static_argnames=("k", "interpret"))
@@ -107,35 +129,7 @@ def knn_pallas(centers: jax.Array, points: jax.Array, k: int = 64,
     Returns:
       (dist (B, S, k) squared distances ascending, idx (B, S, k) int32).
     """
-    B, S, _ = centers.shape
-    N = points.shape[1]
-    assert S % TILE_S == 0, f"S={S} must be a multiple of {TILE_S}"
-
-    pts_t = points.transpose(0, 2, 1)          # (B, 3, N)
-    ctr_t = centers.transpose(0, 2, 1)         # (B, 3, S)
-
-    grid = (B, S // TILE_S)
-    idx, dist = pl.pallas_call(
-        functools.partial(_knn_kernel, k=k, n_points=N),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, 3, N), lambda b, s: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 3, TILE_S), lambda b, s: (b, 0, s),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((1, k, TILE_S), lambda b, s: (b, 0, s),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, k, TILE_S), lambda b, s: (b, 0, s),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((B, k, S), jnp.int32),
-            jax.ShapeDtypeStruct((B, k, S), jnp.float32),
-        ],
-        interpret=interpret,
-    )(pts_t, ctr_t)
+    idx, dist = _call(_knn_kernel, 2, centers, points, k, interpret)
     return dist.transpose(0, 2, 1), idx.transpose(0, 2, 1)
 
 
@@ -148,34 +142,8 @@ def knn_gather_xyz_pallas(centers: jax.Array, points: jax.Array, k: int = 64,
     neighbors_xyz (B, S, k, 3) center-relative) — the complete level-1
     grouping (before ball-query substitution) in one kernel.
     """
-    B, S, _ = centers.shape
-    N = points.shape[1]
-    assert S % TILE_S == 0, f"S={S} must be a multiple of {TILE_S}"
-
-    pts_t = points.transpose(0, 2, 1)
-    ctr_t = centers.transpose(0, 2, 1)
-    grid = (B, S // TILE_S)
-    out_spec = pl.BlockSpec((1, k, TILE_S), lambda b, s: (b, 0, s),
-                            memory_space=pltpu.VMEM)
-    idx, dist, nx, ny, nz = pl.pallas_call(
-        functools.partial(_knn_gather_kernel, k=k, n_points=N),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, 3, N), lambda b, s: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 3, TILE_S), lambda b, s: (b, 0, s),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=[out_spec] * 5,
-        out_shape=[
-            jax.ShapeDtypeStruct((B, k, S), jnp.int32),
-            jax.ShapeDtypeStruct((B, k, S), jnp.float32),
-            jax.ShapeDtypeStruct((B, k, S), jnp.float32),
-            jax.ShapeDtypeStruct((B, k, S), jnp.float32),
-            jax.ShapeDtypeStruct((B, k, S), jnp.float32),
-        ],
-        interpret=interpret,
-    )(pts_t, ctr_t)
+    idx, dist, nx, ny, nz = _call(_knn_gather_kernel, 5, centers, points, k,
+                                  interpret)
     nbr = jnp.stack([nx, ny, nz], axis=-1)         # (B, k, S, 3)
     return (dist.transpose(0, 2, 1), idx.transpose(0, 2, 1),
             nbr.transpose(0, 2, 1, 3))

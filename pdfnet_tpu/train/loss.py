@@ -354,8 +354,12 @@ def compute_loss(
                                        ind_lr, batch)
         loss = loss + 1.0 * photo + 20.0 * seg
         stats.update(photometric_loss=photo.mean(), seg_loss=seg.mean())
-
-    total = loss.mean()
+        # Hard-example mining on the photometric recipe: mean over the
+        # top-70% hardest samples (base_trainer.py:140-142).
+        from pdfnet_tpu.train.priors import hard_example_mining
+        total = hard_example_mining(loss, 0.7)
+    else:
+        total = loss.mean()
     stats.update(
         loss=total, hm_loss=hm_loss.mean(), wh_loss=wh_loss,
         root_loss=root_loss.mean(),

@@ -194,3 +194,32 @@ def test_fused_grouping_backward_matches_autodiff():
                                         g)[0]
     np.testing.assert_allclose(np.asarray(d_fused), np.asarray(d_ref),
                                atol=1e-5)
+
+
+def test_fused_grouping_grad_through_group_points(monkeypatch):
+    """jax.grad through group_points(knn_method='pallas_fused') — exercises
+    the defvjp registration and residual plumbing end to end."""
+    from pdfnet_tpu.ops import grouping
+
+    monkeypatch.setattr(grouping, "_FUSED_INTERPRET", True)
+    rng = np.random.RandomState(7)
+    B, N, S, K = 1, 256, 128, 8
+    r2 = 0.02
+    pts = jnp.asarray(rng.normal(0, 0.05, (B, N, 3)).astype(np.float32))
+    g = jnp.asarray(rng.randn(B, S, K, 3).astype(np.float32))
+
+    def fused(p):
+        grouped, _ = grouping.group_points(p, k=K, num_centers=S, radius2=r2,
+                                           knn_method="pallas_fused")
+        return jnp.sum(grouped * g)
+
+    def generic(p):
+        grouped, _ = grouping.group_points(p, k=K, num_centers=S, radius2=r2)
+        return jnp.sum(grouped * g)
+
+    np.testing.assert_allclose(float(fused(pts)), float(generic(pts)),
+                               rtol=1e-6)
+    d_fused = jax.grad(fused)(pts)
+    d_ref = jax.grad(generic)(pts)
+    np.testing.assert_allclose(np.asarray(d_fused), np.asarray(d_ref),
+                               atol=1e-5)
