@@ -109,12 +109,29 @@ class FPNEncoder(nn.Module):
             dtype=self.dtype, name="dp_decoder")(x1, train)
         mask = mask_out                                      # (B, 384, 384, 2)
 
-        # Center features: x0 -> 512 -> 1024, gathered at hand centers.
-        up0 = nn.Conv(512, (3, 3), padding=[(1, 1)] * 2, use_bias=False,
-                      dtype=self.dtype, name="center_up0")(x0)
-        up1 = nn.Conv(1024, (3, 3), padding=[(1, 1)] * 2, use_bias=False,
+        # Center features: x0 -> 512 -> 1024 at the two hand centers.
+        # The reference computes both 3x3 convs over the full 96² map and
+        # gathers 2 pixels (~54 GFLOP/img); convolving only the 5x5 input
+        # patches around each center is mathematically identical (same
+        # weights, VALID padding on the zero-padded map) at ~1/1800 the cost.
+        Hq = x0.shape[1]
+        x0_pad = jnp.pad(x0, ((0, 0), (2, 2), (2, 2), (0, 0)))
+        ys = (ind // Hq).astype(jnp.int32)                   # (B, 2)
+        xs = (ind % Hq).astype(jnp.int32)
+
+        def patch(img_b, y, x):
+            return jax.lax.dynamic_slice(img_b, (y, x, 0), (5, 5, gd))
+
+        patches = jax.vmap(
+            lambda img_b, yy, xx: jax.vmap(
+                lambda y, x: patch(img_b, y, x))(yy, xx)
+        )(x0_pad, ys, xs)                                    # (B, 2, 5, 5, gd)
+        p = patches.reshape(B * 2, 5, 5, gd)
+        up0 = nn.Conv(512, (3, 3), padding="VALID", use_bias=False,
+                      dtype=self.dtype, name="center_up0")(p)
+        up1 = nn.Conv(1024, (3, 3), padding="VALID", use_bias=False,
                       dtype=self.dtype, name="center_up1")(up0)
-        center_feat = gather_pixels(up1, ind)                # (B, 2, 1024)
+        center_feat = up1.reshape(B, 2, 1024)                # (B, 2, 1024)
 
         # PointNet++ with pyramid SFT fusion; both hands in one batched call.
         pointnet = PointNetPlus(
