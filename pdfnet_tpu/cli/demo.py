@@ -132,15 +132,20 @@ def main(argv=None):
         out = jax.tree.map(np.asarray, out)
 
         file_id = os.path.basename(img_file)[:-4]
+        # outputs grouped by the input's parent folder (reference layout:
+        # outputs/color/...)
+        out_dir = os.path.join(args.out,
+                               os.path.basename(os.path.dirname(img_file)))
+        os.makedirs(out_dir, exist_ok=True)
         # mask
         mask = np.asarray(other["mask"][0])
-        cv2.imwrite(os.path.join(args.out, f"mask_lr_{file_id}.jpg"),
+        cv2.imwrite(os.path.join(out_dir, f"mask_lr_{file_id}.jpg"),
                     np.clip((mask[..., 0] + mask[..., 1]) * 255, 0,
                             255).astype(np.uint8))
         # skeleton
         bones = draw_hand_skeleton(image_c.copy(), out["lms21_pred"][0, 0])
         draw_hand_skeleton(bones, out["lms21_pred"][0, 1],
-                           os.path.join(args.out, f"bones_lr_{file_id}.jpg"))
+                           os.path.join(out_dir, f"bones_lr_{file_id}.jpg"))
         # mesh overlay
         rgb, rmask, _ = render_two_hands(
             jnp.asarray(out["verts_pred"][0, 0]),
@@ -150,7 +155,7 @@ def main(argv=None):
         rmask = np.asarray(rmask)[..., None]
         overlay = (rgb[..., ::-1] * rmask +
                    image_c.astype(np.float32) * (1 - rmask)).astype(np.uint8)
-        cv2.imwrite(os.path.join(args.out, f"render_{file_id}.jpg"), overlay)
+        cv2.imwrite(os.path.join(out_dir, f"render_{file_id}.jpg"), overlay)
         print(f"[{i + 1}/{len(img_list)}] {file_id}: wrote mask/bones/render")
 
 
