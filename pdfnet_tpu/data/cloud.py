@@ -28,6 +28,46 @@ def backproject_np(depth: np.ndarray, K: np.ndarray) -> np.ndarray:
     return rays * depth[..., None]
 
 
+def fps_order_host(points: np.ndarray, num_samples: int,
+                   rng: np.random.RandomState) -> np.ndarray:
+    """Greedy farthest-point ordering (reference interhand.py:147-178).
+
+    Returns indices putting an FPS-selected subset first, the rest after.
+    """
+    n = len(points)
+    if n <= num_samples:
+        return np.arange(n)
+    sel = np.zeros(num_samples, np.int64)
+    sel[0] = rng.randint(n)
+    diff = points - points[sel[0]]
+    min_dist = np.sum(diff * diff, axis=1)
+    for i in range(1, num_samples):
+        sel[i] = int(np.argmax(min_dist))
+        diff = points - points[sel[i]]
+        min_dist = np.minimum(min_dist, np.sum(diff * diff, axis=1))
+    # Wrap-padded clouds contain coincident points, so argmax can re-pick an
+    # index once all distances hit zero (the reference dedupes too,
+    # interhand.py:177).  Keep first occurrences and always return a full
+    # permutation of n.
+    sel = sel[np.sort(np.unique(sel, return_index=True)[1])]
+    rest = np.setdiff1d(np.arange(n), sel, assume_unique=False)
+    return np.concatenate([sel, rest])
+
+
+def fps_reorder_cloud(cloud: np.ndarray, choose: np.ndarray,
+                      num_level1: int, num_level2: int,
+                      rng: np.random.RandomState):
+    """Two-level FPS reordering of a sampled hand cloud (+ its pixel
+    indices): level-1 centers first among all points, level-2 centers first
+    within the level-1 prefix (the ``--sample_strategy FPS`` recipe)."""
+    order1 = fps_order_host(cloud[:, :3], num_level1, rng)
+    cloud, choose = cloud[order1], choose[order1]
+    order2 = fps_order_host(cloud[:num_level1, :3], num_level2, rng)
+    cloud[:num_level1] = cloud[:num_level1][order2]
+    choose[:num_level1] = choose[:num_level1][order2]
+    return cloud, choose
+
+
 def sample_hand_cloud(
     masked_depth: np.ndarray,
     K: np.ndarray,

@@ -233,6 +233,16 @@ class H2ODataset:
                                                     K_img, n, rng)
         choose_r, cloud_r, ok_r = sample_hand_cloud(depth_b * mask_right,
                                                     K_img, n, rng)
+        if cfg.sample_strategy == "FPS":
+            from pdfnet_tpu.data.cloud import fps_reorder_cloud
+            if ok_l:
+                cloud_l, choose_l = fps_reorder_cloud(
+                    cloud_l, choose_l, cfg.sample_num_level1,
+                    cfg.sample_num_level2, rng)
+            if ok_r:
+                cloud_r, choose_r = fps_reorder_cloud(
+                    cloud_r, choose_r, cfg.sample_num_level1,
+                    cfg.sample_num_level2, rng)
         valid_l = valid_l and ok_l
         valid_r = valid_r and ok_r
 

@@ -131,3 +131,17 @@ def test_h2o_train_augmentation_runs(h2o_tree):
         pj = j @ batch["K_new"][b].T
         lms = pj[:, :2] / pj[:, 2:]
         np.testing.assert_allclose(lms, batch["lms_right_gt"][b], atol=1.0)
+
+
+def test_fps_sampling_strategy(h2o_tree):
+    from pdfnet_tpu.data.h2o import H2ODataset
+    cfg = _cfg(h2o_tree, sample_strategy="FPS",
+               sample_num_level1=64, sample_num_level2=16)
+    s = H2ODataset(cfg, "test")[0]
+    cloud = s["cloud"][0]
+    if s["valid"][0]:
+        # FPS prefix should be more spread out than the random tail
+        from scipy.spatial.distance import pdist
+        prefix_spread = pdist(cloud[:16, :3]).min()
+        assert np.isfinite(prefix_spread) and prefix_spread >= 0
+        assert len(np.unique(s["choose"][0][:64])) > 32
