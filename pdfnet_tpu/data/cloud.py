@@ -32,6 +32,8 @@ def fps_order_host(points: np.ndarray, num_samples: int,
                    rng: np.random.RandomState) -> np.ndarray:
     """Greedy farthest-point ordering (reference interhand.py:147-178).
 
+    Host-side numpy twin of the jittable ``pdfnet_tpu.ops.fps`` (dataloader
+    workers vs on-device inference); randomized start per the reference.
     Returns indices putting an FPS-selected subset first, the rest after.
     """
     n = len(points)

@@ -23,7 +23,7 @@ import numpy as np
 
 from pdfnet_tpu.config import Config
 from pdfnet_tpu.data import augment as aug
-from pdfnet_tpu.data.cloud import sample_hand_cloud
+from pdfnet_tpu.data.cloud import fps_reorder_cloud, sample_hand_cloud
 from pdfnet_tpu.data.targets import centernet_targets
 from pdfnet_tpu.mano import layer as mano
 
@@ -234,7 +234,6 @@ class H2ODataset:
         choose_r, cloud_r, ok_r = sample_hand_cloud(depth_b * mask_right,
                                                     K_img, n, rng)
         if cfg.sample_strategy == "FPS":
-            from pdfnet_tpu.data.cloud import fps_reorder_cloud
             if ok_l:
                 cloud_l, choose_l = fps_reorder_cloud(
                     cloud_l, choose_l, cfg.sample_num_level1,

@@ -18,7 +18,7 @@ import jax
 import numpy as np
 
 from pdfnet_tpu.config import Config
-from pdfnet_tpu.data.cloud import sample_hand_cloud
+from pdfnet_tpu.data.cloud import fps_reorder_cloud, sample_hand_cloud
 from pdfnet_tpu.data.targets import centernet_targets
 from pdfnet_tpu.mano import layer as mano
 
@@ -91,6 +91,15 @@ def make_sample(cfg: Config, seed: int) -> Dict[str, np.ndarray]:
     n = cfg.sample_num
     choose_l, cloud_l, ok_l = sample_hand_cloud(depth * m_l, K, n, rng)
     choose_r, cloud_r, ok_r = sample_hand_cloud(depth * m_r, K, n, rng)
+    if cfg.sample_strategy == "FPS":
+        if ok_l:
+            cloud_l, choose_l = fps_reorder_cloud(
+                cloud_l, choose_l, cfg.sample_num_level1,
+                cfg.sample_num_level2, rng)
+        if ok_r:
+            cloud_r, choose_r = fps_reorder_cloud(
+                cloud_r, choose_r, cfg.sample_num_level1,
+                cfg.sample_num_level2, rng)
     valid = np.array([float(ok_l), float(ok_r)], np.float32) * tgt["valid"]
 
     return {

@@ -123,6 +123,8 @@ def infer_rgbd(model: HandNet, variables, img, depth, K, valid, rng,
     mask_lr = other["mask"][..., ::-1]
     choose, cloud, ok = depth_to_hand_clouds(
         depth, mask_lr, K, valid, rng, num_points,
-        with_normals=cfg.input_feature_num == 6)
+        with_normals=cfg.input_feature_num == 6,
+        fps_levels=((cfg.sample_num_level1, cfg.sample_num_level2)
+                    if cfg.sample_strategy == "FPS" else None))
     return model.apply(variables, img, choose, cloud, depth, None, K, valid,
                        train=False)

@@ -35,20 +35,39 @@ def farthest_point_sampling(points: jax.Array, num_samples: int,
     return sampled
 
 
+def _fps_prefix_order(xyz: jax.Array, num_samples: int) -> jax.Array:
+    """Permutation of range(N) with FPS picks first (jittable).
+
+    Coincident points (wrap padding) can make FPS re-pick an index; the
+    duplicate slot is then filled from the remainder so the result is
+    always a full permutation.
+    """
+    N = xyz.shape[0]
+    idx = farthest_point_sampling(xyz, num_samples)
+    mask = jnp.zeros((N,), bool).at[idx].set(True)
+    # picked indices first (prefix order within the pick set is irrelevant:
+    # grouping treats the prefix as an unordered center set)
+    rank = jnp.where(mask, 0, 1)
+    return jnp.argsort(rank, stable=True)
+
+
+def fps_two_level_order(points_xyz: jax.Array, num_level1: int,
+                        num_level2: int) -> jax.Array:
+    """Full permutation putting two-level FPS picks in the prefix
+    (level-1 centers first among all points; level-2 centers first within
+    the level-1 prefix) — the ``--sample_strategy FPS`` recipe, jittable."""
+    order1 = _fps_prefix_order(points_xyz, num_level1)
+    pts1 = points_xyz[order1[:num_level1]]
+    order2 = _fps_prefix_order(pts1, num_level2)
+    head = order1[:num_level1][order2]
+    return jnp.concatenate([head, order1[num_level1:]])
+
+
 def fps_reorder(points: jax.Array, num_level1: int, num_level2: int) -> jax.Array:
     """Reorder a point set so FPS-selected points occupy the prefix.
 
-    Mirrors the reference's two-level FPS shuffling: level-1 centers first
-    (``num_level1`` FPS picks of all points), and within those, level-2
-    centers first.  points: (N, C) with xyz leading.
+    points: (N, C) with xyz leading.  See :func:`fps_two_level_order` for
+    the permutation itself (needed when companion arrays like pixel indices
+    must be reordered identically).
     """
-    N = points.shape[0]
-    idx1 = farthest_point_sampling(points[:, :3], num_level1)
-    mask = jnp.zeros((N,), bool).at[idx1].set(True)
-    rest = jnp.nonzero(~mask, size=N - num_level1, fill_value=0)[0]
-    pts = points[jnp.concatenate([idx1, rest])]
-    idx2 = farthest_point_sampling(pts[:num_level1, :3], num_level2)
-    mask2 = jnp.zeros((num_level1,), bool).at[idx2].set(True)
-    rest2 = jnp.nonzero(~mask2, size=num_level1 - num_level2, fill_value=0)[0]
-    order2 = jnp.concatenate([idx2, rest2])
-    return pts.at[:num_level1].set(pts[order2])
+    return points[fps_two_level_order(points[:, :3], num_level1, num_level2)]

@@ -65,8 +65,13 @@ def depth_to_hand_clouds(
     num_points: int = 1024,
     with_normals: bool = False,
     min_pixels: int = MIN_PIXELS,
+    fps_levels: Optional[Tuple[int, int]] = None,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
-    """Returns (choose (B, 2, N) int32, cloud (B, 2, N, 3|6), ok (B, 2))."""
+    """Returns (choose (B, 2, N) int32, cloud (B, 2, N, 3|6), ok (B, 2)).
+
+    ``fps_levels=(n1, n2)`` applies the two-level FPS prefix reordering to
+    each hand's cloud + indices (--sample_strategy FPS at inference time).
+    """
     B, H, W = depth.shape
     band = ((depth > Z_MIN) & (depth < Z_MAX)).astype(depth.dtype)
     depth_b = depth * band
@@ -86,6 +91,10 @@ def depth_to_hand_clouds(
             c, p, ok = _sample_one_hand(
                 dm.reshape(-1), xyz.reshape(-1, 3), kk[h], num_points,
                 nrm_flat, min_pixels)
+            if fps_levels is not None:
+                from pdfnet_tpu.ops.fps import fps_two_level_order
+                order = fps_two_level_order(p[:, :3], *fps_levels)
+                c, p = c[order], p[order]
             ok = ok & (v[h] > 0)
             out_c.append(jnp.where(ok, c, 0))
             out_p.append(jnp.where(ok, p, 0.0))

@@ -134,14 +134,21 @@ def test_h2o_train_augmentation_runs(h2o_tree):
 
 
 def test_fps_sampling_strategy(h2o_tree):
+    from scipy.spatial.distance import pdist
     from pdfnet_tpu.data.h2o import H2ODataset
-    cfg = _cfg(h2o_tree, sample_strategy="FPS",
-               sample_num_level1=64, sample_num_level2=16)
-    s = H2ODataset(cfg, "test")[0]
-    cloud = s["cloud"][0]
-    if s["valid"][0]:
-        # FPS prefix should be more spread out than the random tail
-        from scipy.spatial.distance import pdist
-        prefix_spread = pdist(cloud[:16, :3]).min()
-        assert np.isfinite(prefix_spread) and prefix_spread >= 0
-        assert len(np.unique(s["choose"][0][:64])) > 32
+
+    kw = dict(sample_num_level1=64, sample_num_level2=16)
+    s_fps = H2ODataset(_cfg(h2o_tree, sample_strategy="FPS", **kw), "test")[0]
+    s_rnd = H2ODataset(_cfg(h2o_tree, sample_strategy="random", **kw),
+                       "test")[0]
+    assert s_fps["valid"][0], "fixture must yield a valid left hand"
+    # An FPS prefix is farther spread than a random prefix of the same cloud:
+    # its minimum pairwise distance is (near-)maximal by construction.
+    fps_min = pdist(s_fps["cloud"][0][:16, :3]).min()
+    rnd_min = pdist(s_rnd["cloud"][0][:16, :3]).min()
+    assert fps_min > rnd_min * 1.5, (fps_min, rnd_min)
+    # cloud and choose stay aligned through the reordering
+    from pdfnet_tpu.data.cloud import backproject_np
+    xyz = backproject_np(s_fps["depth"], s_fps["K_new"]).reshape(-1, 3)
+    np.testing.assert_allclose(xyz[s_fps["choose"][0][:16]],
+                               s_fps["cloud"][0][:16], atol=1e-5)
