@@ -290,12 +290,25 @@ class H2ODataset:
                  .permutation(len(self)))
         if self.split != "train":
             order = np.arange(len(self))
-        for i in range(0, len(order) - batch_size + 1, batch_size):
-            samples = [self[int(j)] for j in order[i:i + batch_size]]
-            keys = set(samples[0])
-            for s in samples[1:]:
-                keys &= set(s)
-            yield {k: np.stack([s[k] for s in samples]) for k in keys}
+        workers = max(int(self.cfg.num_workers), 1)
+        pool = None
+        if workers > 1:
+            from concurrent.futures import ThreadPoolExecutor
+            pool = ThreadPoolExecutor(workers)  # cv2/numpy release the GIL
+        try:
+            for i in range(0, len(order) - batch_size + 1, batch_size):
+                idxs = [int(j) for j in order[i:i + batch_size]]
+                if pool is not None:
+                    samples = list(pool.map(self.__getitem__, idxs))
+                else:
+                    samples = [self[j] for j in idxs]
+                keys = set(samples[0])
+                for s in samples[1:]:
+                    keys &= set(s)
+                yield {k: np.stack([s[k] for s in samples]) for k in keys}
+        finally:
+            if pool is not None:
+                pool.shutdown(wait=False)
 
 
 def build_dataset(cfg: Config, split: str):

@@ -91,3 +91,22 @@ def test_param_count_reasonable(model_and_vars):
     n = sum(np.prod(p.shape) for p in jax.tree.leaves(variables["params"]))
     # reference model is ~60-90M params (resnet50 + decoders + gcn)
     assert 40e6 < n < 150e6, f"param count {n/1e6:.1f}M out of range"
+
+
+def test_infer_rgbd_self_contained(model_and_vars):
+    """Two-phase RGB-D inference: centers+masks+clouds from predictions."""
+    from pdfnet_tpu.models.handnet import infer_rgbd
+
+    cfg, model, variables, inputs = model_and_vars
+    img, choose, cloud, depth, _, K, valid = inputs
+    # give the depth a hand-plausible band so the cloud builder engages
+    depth = np.full_like(depth, 0.55)
+    result, params, hand_dicts, other = infer_rgbd(
+        model, variables, jnp.asarray(img), jnp.asarray(depth),
+        jnp.asarray(K), jnp.asarray(valid), jax.random.PRNGKey(0),
+        num_points=cfg.sample_num)
+    for side in ("left", "right"):
+        v = np.asarray(result["verts3d"][side])
+        assert v.shape == (1, 778, 3) and np.isfinite(v).all()
+    ind = np.asarray(other["ind"])
+    assert ((ind >= 0) & (ind < (cfg.default_resolution // 4) ** 2)).all()
