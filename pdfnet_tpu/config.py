@@ -73,7 +73,7 @@ class Config:
     ball_radius: float = 0.015        # squared radius, level 1
     ball_radius2: float = 0.04        # squared radius, level 2
     sample_strategy: str = "random"   # random | FPS
-    knn_method: str = "pallas"        # topk | approx | pallas | pallas_fused
+    knn_method: str = "pallas_fused"  # topk | approx | pallas | pallas_fused
     gather_method: str = "onehot"     # take | onehot
 
     # ---- GCN decoder ------------------------------------------------------

@@ -187,6 +187,43 @@ def _fused_group_bwd(k, num_centers, radius2, res, g):
 _fused_group_pallas.defvjp(_fused_group_fwd, _fused_group_bwd)
 
 
+@partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
+def _fused_group_feat_pallas(feat, k, num_centers, radius2):
+    """Level-2 grouping via the fused feature-gather Pallas kernel."""
+    return _fused_group_feat_fwd(feat, k, num_centers, radius2)[0]
+
+
+def _fused_group_feat_fwd(feat, k, num_centers, radius2):
+    from pdfnet_tpu.ops.pallas_knn import group_feat_pallas
+    # bf16 features halve the kernel's VMEM output footprint (the f32 output
+    # block overflows the 16MB budget); selection stays exact via the f32
+    # xyz operands inside the kernel, and the consumer MLP is bf16 anyway.
+    fin = feat if _FUSED_INTERPRET else feat.astype(jnp.bfloat16)
+    grouped, idx, valid = group_feat_pallas(
+        jax.lax.stop_gradient(fin), k, num_centers, radius2,
+        interpret=_FUSED_INTERPRET)
+    return grouped.astype(feat.dtype), (idx, valid, feat.shape)
+
+
+def _fused_group_feat_bwd(k, num_centers, radius2, res, g):
+    # valid:   grouped = feat[idx] - [xyz of center, 0...]
+    # invalid: grouped = [0, 0, 0, center's non-xyz features]
+    idx, valid, fshape = res
+    B = g.shape[0]
+    g_valid = jnp.where(valid[..., None], g, 0.0)
+    g_inval = g - g_valid
+    d_feat = jnp.zeros(fshape, g.dtype)
+    d_feat = d_feat.at[jnp.arange(B)[:, None, None], idx].add(g_valid)
+    d_feat = d_feat.at[:, :num_centers, :3].add(
+        -g_valid[..., :3].sum(axis=2))
+    d_feat = d_feat.at[:, :num_centers, 3:].add(
+        g_inval[..., 3:].sum(axis=2))
+    return (d_feat,)
+
+
+_fused_group_feat_pallas.defvjp(_fused_group_feat_fwd, _fused_group_feat_bwd)
+
+
 def group_points_level2(
     feat: jax.Array,
     num_centers: int = 128,
@@ -205,6 +242,11 @@ def group_points_level2(
       centers: (B, S2, 3).
     """
     centers = feat[:, :num_centers, :3]
+    from pdfnet_tpu.ops.pallas_knn import TILE_S
+    if (knn_method == "pallas_fused" and num_centers % TILE_S == 0
+            and (jax.default_backend() == "tpu" or _FUSED_INTERPRET)):
+        grouped = _fused_group_feat_pallas(feat, k, num_centers, radius2)
+        return grouped, centers
     idx, _ = knn_ball_query(centers, feat[..., :3], k, radius2, knn_method)
     grouped = _gather_neighbors(feat, idx, gather_method)
     grouped = jnp.concatenate(

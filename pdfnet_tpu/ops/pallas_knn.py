@@ -92,6 +92,103 @@ def _knn_gather_kernel(points_ref, centers_ref, idx_ref, dist_ref,
     _select_loop(d, k, n_points, emit)
 
 
+def _knn_gather_feat_kernel(xyz_ref, cxyz_ref, feat_ref, centers_ref,
+                            out_ref, idx_ref, dist_ref, *, k: int,
+                            n_points: int, radius2: float):
+    """Level-2 grouping in one kernel: exact f32 kNN selection over xyz,
+    full-feature-row gather via an in-VMEM one-hot matmul (MXU), xyz
+    center-subtraction, and ball-query substitution (out-of-ball neighbors
+    become the center's own features with zeroed centered-xyz).
+
+    Features may arrive in bf16 (the model's compute dtype) to halve the
+    output VMEM footprint; distances always use the separate f32 xyz
+    operands so the selection is exact.
+    """
+    px = xyz_ref[0, 0, :]                       # (N,) f32
+    py = xyz_ref[0, 1, :]
+    pz = xyz_ref[0, 2, :]
+    cx = cxyz_ref[0, 0, :]                      # (TILE_S,) f32
+    cy = cxyz_ref[0, 1, :]
+    cz = cxyz_ref[0, 2, :]
+    dx = px[None, :] - cx[:, None]
+    dy = py[None, :] - cy[:, None]
+    dz = pz[None, :] - cz[:, None]
+    d = dx * dx + dy * dy + dz * dz
+
+    feat = feat_ref[0]                          # (N, C) feat dtype
+    ctr = centers_ref[0]                        # (TILE_S, C)
+    lane = jax.lax.broadcasted_iota(jnp.int32, ctr.shape, 1)
+    sub_xyz = (jnp.where(lane == 0, cx[:, None], 0.0) +
+               jnp.where(lane == 1, cy[:, None], 0.0) +
+               jnp.where(lane == 2, cz[:, None], 0.0)).astype(feat.dtype)
+    ctr_zero_xyz = jnp.where(lane < 3, 0, ctr)
+
+    col = jax.lax.broadcasted_iota(jnp.int32, d.shape, 1)
+    dcur = d
+    for j in range(k):
+        m = jnp.min(dcur, axis=1)
+        is_min = dcur == m[:, None]
+        arg = jnp.min(jnp.where(is_min, col, n_points), axis=1)
+        sel = col == arg[:, None]
+        # f32 accumulator (Mosaic requirement); exactly one nonzero term per
+        # row, so the cast back to the feature dtype is exact.
+        g = jnp.dot(sel.astype(feat.dtype), feat,
+                    preferred_element_type=jnp.float32
+                    ).astype(feat.dtype)                    # (TILE_S, C)
+        valid = (m <= radius2)[:, None]
+        out_ref[0, j, :, :] = jnp.where(valid, g - sub_xyz, ctr_zero_xyz)
+        idx_ref[0, j, :] = arg
+        dist_ref[0, j, :] = m
+        dcur = jnp.where(sel, jnp.inf, dcur)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "radius2", "num_centers",
+                                             "interpret"))
+def group_feat_pallas(feat: jax.Array, k: int, num_centers: int,
+                      radius2: float, interpret: bool = False):
+    """Fused level-2 grouping.  feat: (B, N, C) with xyz leading; gather and
+    outputs run in feat's dtype (bf16 halves VMEM), selection in f32.
+
+    Returns (grouped (B, S, K, C) ball-query-substituted center-relative
+    neighborhoods, idx (B, S, K) raw knn indices, valid (B, S, K)).
+    """
+    B, N, C = feat.shape
+    S = num_centers
+    assert S % TILE_S == 0, f"num_centers={S} must be a multiple of {TILE_S}"
+    xyz_t = feat[..., :3].astype(jnp.float32).transpose(0, 2, 1)  # (B, 3, N)
+    out_spec2 = pl.BlockSpec((1, k, TILE_S), lambda b, s: (b, 0, s),
+                             memory_space=pltpu.VMEM)
+    grouped, idx, dist = pl.pallas_call(
+        functools.partial(_knn_gather_feat_kernel, k=k, n_points=N,
+                          radius2=radius2),
+        grid=(B, S // TILE_S),
+        in_specs=[
+            pl.BlockSpec((1, 3, N), lambda b, s: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3, TILE_S), lambda b, s: (b, 0, s),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, N, C), lambda b, s: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TILE_S, C), lambda b, s: (b, s, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, k, TILE_S, C), lambda b, s: (b, 0, s, 0),
+                         memory_space=pltpu.VMEM),
+            out_spec2, out_spec2,
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, k, S, C), feat.dtype),
+            jax.ShapeDtypeStruct((B, k, S), jnp.int32),
+            jax.ShapeDtypeStruct((B, k, S), jnp.float32),
+        ],
+        interpret=interpret,
+    )(xyz_t, xyz_t[:, :, :S], feat, feat[:, :S])
+    valid = dist <= radius2
+    return (grouped.transpose(0, 2, 1, 3), idx.transpose(0, 2, 1),
+            valid.transpose(0, 2, 1))
+
+
 def _call(kernel, n_outputs, centers, points, k, interpret):
     B, S, _ = centers.shape
     N = points.shape[1]

@@ -223,3 +223,33 @@ def test_fused_grouping_grad_through_group_points(monkeypatch):
     d_ref = jax.grad(generic)(pts)
     np.testing.assert_allclose(np.asarray(d_fused), np.asarray(d_ref),
                                atol=1e-5)
+
+
+def test_fused_level2_grouping_and_grad(monkeypatch):
+    """Fused feature-gather kernel: forward parity + VJP vs autodiff."""
+    from pdfnet_tpu.ops import grouping
+
+    monkeypatch.setattr(grouping, "_FUSED_INTERPRET", True)
+    rng = np.random.RandomState(8)
+    B, N, C, S, K = 1, 256, 35, 128, 8
+    r2 = 0.02
+    feat = rng.normal(0, 0.3, (B, N, C)).astype(np.float32)
+    feat[:, :, :3] = rng.normal(0, 0.05, (B, N, 3))
+    feat = jnp.asarray(feat)
+    g = jnp.asarray(rng.randn(B, S, K, C).astype(np.float32))
+
+    def fused(f):
+        grouped, _ = grouping.group_points_level2(
+            f, num_centers=S, k=K, radius2=r2, knn_method="pallas_fused")
+        return jnp.sum(grouped * g)
+
+    def generic(f):
+        grouped, _ = grouping.group_points_level2(
+            f, num_centers=S, k=K, radius2=r2)
+        return jnp.sum(grouped * g)
+
+    np.testing.assert_allclose(float(fused(feat)), float(generic(feat)),
+                               rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(jax.grad(fused)(feat)),
+                               np.asarray(jax.grad(generic)(feat)),
+                               atol=1e-4)
