@@ -20,7 +20,7 @@ def main():
     ap.add_argument("--iters", type=int, default=60)
     ap.add_argument("--warmup", type=int, default=3)
     ap.add_argument("--res", type=int, default=384)
-    ap.add_argument("--knn", default="pallas",
+    ap.add_argument("--knn", default="pallas_fused",
                     choices=["topk", "approx", "pallas", "pallas_fused"])
     args = ap.parse_args()
 
