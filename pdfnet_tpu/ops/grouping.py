@@ -177,9 +177,11 @@ def _fused_group_bwd(k, num_centers, radius2, res, g):
     idx, valid, pshape = res
     gm = jnp.where(valid[..., None], g, 0.0)            # (B, S, K, 3)
     B, S, K, _ = gm.shape
-    d_points = jnp.zeros(pshape, gm.dtype)
-    d_points = d_points.at[
-        jnp.arange(B)[:, None, None], idx].add(gm)      # neighbor term
+    N = pshape[1]
+    # Scatter-add expressed as a one-hot-transpose matmul (MXU beats XLA's
+    # serial scatter on TPU): d_points[n] = sum_{s,k: idx=n} g[s,k].
+    oh = jax.nn.one_hot(idx.reshape(B, S * K), N, dtype=gm.dtype)
+    d_points = jnp.einsum("bmn,bmc->bnc", oh, gm.reshape(B, S * K, -1))
     d_points = d_points.at[:, :num_centers].add(-gm.sum(axis=2))  # center term
     return (d_points,)
 
@@ -209,11 +211,13 @@ def _fused_group_feat_bwd(k, num_centers, radius2, res, g):
     # valid:   grouped = feat[idx] - [xyz of center, 0...]
     # invalid: grouped = [0, 0, 0, center's non-xyz features]
     idx, valid, fshape = res
-    B = g.shape[0]
+    B, S, K, C = g.shape
+    N = fshape[1]
     g_valid = jnp.where(valid[..., None], g, 0.0)
     g_inval = g - g_valid
-    d_feat = jnp.zeros(fshape, g.dtype)
-    d_feat = d_feat.at[jnp.arange(B)[:, None, None], idx].add(g_valid)
+    # scatter-add as a one-hot-transpose matmul (see _fused_group_bwd)
+    oh = jax.nn.one_hot(idx.reshape(B, S * K), N, dtype=g.dtype)
+    d_feat = jnp.einsum("bmn,bmc->bnc", oh, g_valid.reshape(B, S * K, C))
     d_feat = d_feat.at[:, :num_centers, :3].add(
         -g_valid[..., :3].sum(axis=2))
     d_feat = d_feat.at[:, :num_centers, 3:].add(
