@@ -94,10 +94,13 @@ class H2ODataset:
         return len(self.records)
 
     # ------------------------------------------------------------------
-    def __getitem__(self, index: int) -> Dict[str, np.ndarray]:
+    def __getitem__(self, index: int, epoch: int = 0) -> Dict[str, np.ndarray]:
         cfg = self.cfg
         rec = self.records[index]
-        rng = np.random.RandomState((cfg.seed + index * 9973) % (2 ** 31))
+        # per-(sample, epoch) seed: deterministic across workers/restarts but
+        # the augmentation draw changes every epoch
+        rng = np.random.RandomState(
+            (cfg.seed + index * 9973 + epoch * 7919) % (2 ** 31))
         res = cfg.default_resolution
 
         img = cv2.imread(os.path.join(cfg.pre_fix, rec["imgpath"]))
@@ -117,7 +120,15 @@ class H2ODataset:
 
         K = np.asarray(rec["K"], np.float32).reshape(3, 3)
         fx, cx = K[0, 0], K[0, 2]
-        lms = np.asarray(rec["lms"], np.float32).reshape(-1, 2).copy()
+        lms_raw = np.asarray(rec["lms"], np.float32)
+        if lms_raw.ndim == 2 and lms_raw.shape[1] == 3:
+            # RHD caches carry (42, 3) x/y/confidence rows; keep the xy and
+            # the confidence column (validity, interhand.py:736-746).
+            lms_conf = lms_raw[:, 2].copy()
+            lms = lms_raw[:, :2].copy()
+        else:
+            lms_conf = None
+            lms = lms_raw.reshape(-1, 2).copy()
 
         train = self.split == "train"
         flip = train and rng.randint(0, 2) == 0
@@ -150,9 +161,14 @@ class H2ODataset:
                     j[:, 0] = -j[:, 0] + j[:, 2] / fx * (W - 2 * cx)
                 hand[side] = dict(verts3d=None, joints3d=j, verts2d=None,
                                   joints2d=l2)
-            lms_conf = np.asarray(rec["lms"], np.float32)
-            valid_l = int(rec.get("bboxes", [1, 1])[0] is not None)
-            valid_r = int(rec.get("bboxes", [1, 1])[1] is not None)
+            # valid iff the bbox exists AND >10 of 21 keypoints are visible
+            # (reference interhand.py:736-746; the flip swap below mirrors
+            # the reference's flipped-validity branch).
+            bboxes = rec.get("bboxes", [1, 1])
+            valid_l = int(bboxes[0] is not None and
+                          (lms_conf is None or lms_conf[:21].sum() > 10))
+            valid_r = int(bboxes[1] is not None and
+                          (lms_conf is None or lms_conf[21:].sum() > 10))
 
         if cfg.brightness and train and rng.randint(0, 2) == 0:
             img = aug.add_noise(img.astype(np.float32), rng).astype(np.uint8)
@@ -298,10 +314,11 @@ class H2ODataset:
         try:
             for i in range(0, len(order) - batch_size + 1, batch_size):
                 idxs = [int(j) for j in order[i:i + batch_size]]
+                get = lambda j: self.__getitem__(j, epoch)
                 if pool is not None:
-                    samples = list(pool.map(self.__getitem__, idxs))
+                    samples = list(pool.map(get, idxs))
                 else:
-                    samples = [self[j] for j in idxs]
+                    samples = [get(j) for j in idxs]
                 keys = set(samples[0])
                 for s in samples[1:]:
                     keys &= set(s)

@@ -41,10 +41,11 @@ class InterHandNewDataset:
     def __len__(self):
         return self.size
 
-    def __getitem__(self, index: int) -> Dict[str, np.ndarray]:
+    def __getitem__(self, index: int, epoch: int = 0) -> Dict[str, np.ndarray]:
         cfg = self.cfg
         res = cfg.default_resolution
-        rng = np.random.RandomState((cfg.seed + index * 31337) % (2 ** 31))
+        rng = np.random.RandomState(
+            (cfg.seed + index * 31337 + epoch * 7919) % (2 ** 31))
         sp = self.split
 
         img = cv2.imread(os.path.join(self.root, sp, "img", f"{index}.jpg"))
@@ -156,5 +157,6 @@ class InterHandNewDataset:
         order = np.random.RandomState(self.cfg.seed + epoch).permutation(
             len(self)) if self.split == "train" else np.arange(len(self))
         for i in range(0, len(order) - batch_size + 1, batch_size):
-            samples = [self[int(j)] for j in order[i:i + batch_size]]
+            samples = [self.__getitem__(int(j), epoch)
+                       for j in order[i:i + batch_size]]
             yield {k: np.stack([s[k] for s in samples]) for k in samples[0]}

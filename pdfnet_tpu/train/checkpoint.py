@@ -9,6 +9,7 @@ the LR fast-forwarded through the step schedule.
 from __future__ import annotations
 
 import os
+import shutil
 from typing import Any, Dict, Optional, Tuple
 
 import jax
@@ -29,6 +30,14 @@ def save_checkpoint(ckpt_dir: str, state: TrainState, epoch: int,
                "step": np.asarray(state.step), "epoch": np.asarray(epoch)}
     ckptr.save(path, payload, force=True)
     ckptr.wait_until_finished()
+    # retention: keep the ``keep`` newest model_<epoch> checkpoints
+    if keep and keep > 0:
+        cands = sorted((d for d in os.listdir(ckpt_dir)
+                        if d.startswith("model_")
+                        and d.split("_")[-1].isdigit()),
+                       key=lambda d: int(d.split("_")[-1]))
+        for old in cands[:-keep]:
+            shutil.rmtree(os.path.join(ckpt_dir, old), ignore_errors=True)
     return path
 
 

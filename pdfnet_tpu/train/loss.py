@@ -67,8 +67,13 @@ def focal_loss(pred: jax.Array, gt: jax.Array) -> jax.Array:
     axes = tuple(range(1, pred.ndim))
     num_pos = pos.sum(axis=axes)
     pos_s, neg_s = pos_l.sum(axis=axes), neg_l.sum(axis=axes)
-    normed = -(pos_s + neg_s) / (num_pos + 1e-3)
-    return jnp.where(num_pos.sum() == 0, -neg_s, normed)
+    # Per-sample guard: a zero-positive sample falls back to the raw negative
+    # term instead of dividing by the 1e-3 epsilon (a 1000x spike).  The
+    # reference guards only the batch-global count (losses.py _neg_loss),
+    # leaving mixed batches exposed; per-sample is strictly safer and equal
+    # whenever every sample has a positive.
+    denom = jnp.maximum(num_pos, 1.0)      # where-safe: no 0/0 in either branch
+    return jnp.where(num_pos == 0, -neg_s, -(pos_s + neg_s) / denom)
 
 
 def smooth_l1(pred: jax.Array, gt: jax.Array) -> jax.Array:
@@ -234,18 +239,24 @@ def compute_loss(
                            batch["wh"])
                if cfg.use_wh_loss and "wh" in batch else jnp.zeros(()))
 
-    # --- mesh ground truth ------------------------------------------------
-    vl_gt, vr_gt = batch["verts_left_gt"], batch["verts_right_gt"]
+    # --- mesh ground truth (vertex GT exists for H2O; RHD has joints only,
+    # matching the reference's dataset=='H2O' gates, simplified.py:424-485) --
+    has_verts = "verts_left_gt" in batch
     jl_gt_abs = batch["joints_left_gt"]
     jr_gt_abs = batch["joints_right_gt"]
     root_l_gt = jl_gt_abs[:, 9:10]
     root_r_gt = jr_gt_abs[:, 9:10]
-    vl_gt_off = vl_gt - root_l_gt
-    vr_gt_off = vr_gt - root_r_gt
-    jl_gt_off = jnp.einsum("jv,bvc->bjc", consts.regressor_left, vl_gt_off,
-                           precision=_HI)
-    jr_gt_off = jnp.einsum("jv,bvc->bjc", consts.regressor_right, vr_gt_off,
-                           precision=_HI)
+    if has_verts:
+        vl_gt, vr_gt = batch["verts_left_gt"], batch["verts_right_gt"]
+        vl_gt_off = vl_gt - root_l_gt
+        vr_gt_off = vr_gt - root_r_gt
+        jl_gt_off = jnp.einsum("jv,bvc->bjc", consts.regressor_left,
+                               vl_gt_off, precision=_HI)
+        jr_gt_off = jnp.einsum("jv,bvc->bjc", consts.regressor_right,
+                               vr_gt_off, precision=_HI)
+    else:
+        jl_gt_off = jl_gt_abs - root_l_gt
+        jr_gt_off = jr_gt_abs - root_r_gt
 
     vl_off = result["verts3d"]["left"]
     vr_off = result["verts3d"]["right"]
@@ -256,19 +267,22 @@ def compute_loss(
 
     # --- root-relative vertex / joint terms -------------------------------
     norm01 = lambda x: x / res_px * 2.0 - 1.0
-    verts2d_loss = (mse(norm01(result["verts2d"]["left"]),
-                        norm01(batch["verts2d_left_gt"])) +
-                    mse(norm01(result["verts2d"]["right"]),
-                        norm01(batch["verts2d_right_gt"])))
-    verts_loss = (l1_per_sample(vl_off, vl_gt_off) * valid[:, 0] +
-                  l1_per_sample(vr_off, vr_gt_off) * valid[:, 1])
+    zero = jnp.zeros(())
     joints_loss = (l1_per_sample(jl_off, jl_gt_off) * valid[:, 0] +
                    l1_per_sample(jr_off, jr_gt_off) * valid[:, 1])
-
-    norm_loss = (face_normal_loss(vl_off, vl_gt_off, consts.faces_left) +
-                 face_normal_loss(vr_off, vr_gt_off, consts.faces_right))
-    edge_loss = (edge_length_loss(vl_off, vl_gt_off, consts.faces_left) +
-                 edge_length_loss(vr_off, vr_gt_off, consts.faces_right))
+    if has_verts:
+        verts2d_loss = (mse(norm01(result["verts2d"]["left"]),
+                            norm01(batch["verts2d_left_gt"])) +
+                        mse(norm01(result["verts2d"]["right"]),
+                            norm01(batch["verts2d_right_gt"])))
+        verts_loss = (l1_per_sample(vl_off, vl_gt_off) * valid[:, 0] +
+                      l1_per_sample(vr_off, vr_gt_off) * valid[:, 1])
+        norm_loss = (face_normal_loss(vl_off, vl_gt_off, consts.faces_left) +
+                     face_normal_loss(vr_off, vr_gt_off, consts.faces_right))
+        edge_loss = (edge_length_loss(vl_off, vl_gt_off, consts.faces_left) +
+                     edge_length_loss(vr_off, vr_gt_off, consts.faces_right))
+    else:
+        verts2d_loss = verts_loss = norm_loss = edge_loss = zero
 
     # --- coarse (252-vert) GCN supervision --------------------------------
     v252_l = hand_dicts[0]["verts3d"]["left"]
@@ -276,23 +290,29 @@ def compute_loss(
     v252_2d_l = hand_dicts[0]["verts2d"]["left"]
     v252_2d_r = hand_dicts[0]["verts2d"]["right"]
 
-    # Reference quirk (simplified.py:463): the right-hand GCN GT reuses the
-    # LEFT hand's vertices; fixed by default, replicable for parity runs.
-    vr_gt_for_gcn = vl_gt_off if cfg.replicate_reference_quirks else vr_gt_off
-    gt252_l = mesh_downsample_pyramid(vl_gt_off[:, consts.perm_left], 252)
-    gt252_r = mesh_downsample_pyramid(vr_gt_for_gcn[:, consts.perm_right], 252)
-    gt252_2d_l = mesh_downsample_pyramid(
-        batch["verts2d_left_gt"][:, consts.perm_left], 252)
-    gt252_2d_r = mesh_downsample_pyramid(
-        batch["verts2d_right_gt"][:, consts.perm_right], 252)
+    if has_verts:
+        # Reference quirk (simplified.py:463): the right-hand GCN GT reuses
+        # the LEFT hand's vertices; fixed by default, replicable for parity.
+        vr_gt_for_gcn = (vl_gt_off if cfg.replicate_reference_quirks
+                         else vr_gt_off)
+        gt252_l = mesh_downsample_pyramid(vl_gt_off[:, consts.perm_left], 252)
+        gt252_r = mesh_downsample_pyramid(
+            vr_gt_for_gcn[:, consts.perm_right], 252)
+        gt252_2d_l = mesh_downsample_pyramid(
+            batch["verts2d_left_gt"][:, consts.perm_left], 252)
+        gt252_2d_r = mesh_downsample_pyramid(
+            batch["verts2d_right_gt"][:, consts.perm_right], 252)
 
-    # Second reference quirk (simplified.py:481-482): both gcn_loss terms are
-    # gated by the LEFT validity.  Fixed by default.
-    v_r_gate = valid[:, 0] if cfg.replicate_reference_quirks else valid[:, 1]
-    gcn_loss = (l1_per_sample(v252_l, gt252_l) * valid[:, 0] +
-                l1_per_sample(v252_r, gt252_r) * v_r_gate)
-    gcn_2d_loss = (mse(norm01(v252_2d_l), norm01(gt252_2d_l)) +
-                   mse(norm01(v252_2d_r), norm01(gt252_2d_r)))
+        # Second reference quirk (simplified.py:481-482): both gcn_loss terms
+        # are gated by the LEFT validity.  Fixed by default.
+        v_r_gate = (valid[:, 0] if cfg.replicate_reference_quirks
+                    else valid[:, 1])
+        gcn_loss = (l1_per_sample(v252_l, gt252_l) * valid[:, 0] +
+                    l1_per_sample(v252_r, gt252_r) * v_r_gate)
+        gcn_2d_loss = (mse(norm01(v252_2d_l), norm01(gt252_2d_l)) +
+                       mse(norm01(v252_2d_r), norm01(gt252_2d_r)))
+    else:
+        gcn_loss = gcn_2d_loss = zero
 
     # --- absolute root / absolute pose ------------------------------------
     root_z_l = 0.4 + params["root"]["left"][:, 0] / 100.0
@@ -321,8 +341,11 @@ def compute_loss(
                  l1_per_sample(root_r_pred, root_r_gt) * valid[:, 1] * 1000.0)
     abs_joints_loss = (l1_per_sample(jl_abs, jl_gt_abs) * valid[:, 0] +
                        l1_per_sample(jr_abs, jr_gt_abs) * valid[:, 1]) * 1000.0
-    abs_verts_loss = (l1_per_sample(vl_abs, vl_gt) * valid[:, 0] +
-                      l1_per_sample(vr_abs, vr_gt) * valid[:, 1]) * 1000.0
+    if has_verts:
+        abs_verts_loss = (l1_per_sample(vl_abs, vl_gt) * valid[:, 0] +
+                          l1_per_sample(vr_abs, vr_gt) * valid[:, 1]) * 1000.0
+    else:
+        abs_verts_loss = zero
 
     bone_loss = (bone_direction_loss(lms_l_proj, batch["lms_left_gt"]) * valid[:, 0] +
                  bone_direction_loss(lms_r_proj, batch["lms_right_gt"]) * valid[:, 1])

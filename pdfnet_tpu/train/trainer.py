@@ -76,21 +76,34 @@ class Trainer:
                   log_every: int = 10) -> Dict[str, float]:
         lr = jnp.asarray(lr_at_epoch(self.cfg, epoch), jnp.float32)
         ep = jnp.asarray(epoch, jnp.int32)
-        running: Dict[str, float] = {}
+        # Accumulate stats as device arrays: float() forces a host-device
+        # sync per batch and would serialize the async dispatch pipeline.
+        # Host transfers happen only every ``log_every`` steps and once at
+        # the end of the epoch.
+        running = None
         n = 0
-        for i, batch in enumerate(batches):
-            batch = mesh_lib.shard_batch(
-                {k: v for k, v in batch.items()}, self.mesh,
-                self.cfg.data_axis)
-            rng = jax.random.fold_in(jax.random.PRNGKey(epoch), i)
-            self.state, stats = self.train_step(self.state, batch, ep, lr, rng)
-            n += 1
-            for k, v in stats.items():
-                running[k] = running.get(k, 0.0) + float(v)
-            if logger and (i % log_every == 0):
-                logger.scalars(int(self.state.step),
-                               {k: float(v) for k, v in stats.items()})
-        return {k: v / max(n, 1) for k, v in running.items()}
+        try:
+            for i, batch in enumerate(batches):
+                batch = mesh_lib.shard_batch(
+                    {k: v for k, v in batch.items()}, self.mesh,
+                    self.cfg.data_axis)
+                rng = jax.random.fold_in(jax.random.PRNGKey(epoch), i)
+                self.state, stats = self.train_step(self.state, batch, ep, lr,
+                                                    rng)
+                n += 1
+                running = (stats if running is None else
+                           jax.tree.map(jnp.add, running, stats))
+                if logger and (i % log_every == 0):
+                    logger.scalars(int(self.state.step),
+                                   {k: float(v) for k, v in stats.items()})
+        finally:
+            close = getattr(batches, "close", None)
+            if close is not None:
+                close()
+        if running is None:
+            return {}
+        host = jax.device_get(running)
+        return {k: float(v) / max(n, 1) for k, v in host.items()}
 
     def evaluate(self, batches: Iterable[Dict[str, np.ndarray]],
                  ) -> MetricAccumulator:
@@ -122,8 +135,11 @@ def fit(cfg: Config, train_data, eval_data=None, log_dir: str = "outputs/logs",
     trainer.init_state(first)
     start_epoch = cfg.start_epoch
     if cfg.load_model:
-        start_epoch = trainer.load(cfg.load_model)
-        logger.write(f"resumed from {cfg.load_model} at epoch {start_epoch}")
+        # checkpoints record the epoch they were saved AFTER; resume at the
+        # next one (reference main.py:107 range(start_epoch + 1, ...))
+        start_epoch = trainer.load(cfg.load_model) + 1
+        logger.write(f"resumed from {cfg.load_model}; "
+                     f"continuing at epoch {start_epoch}")
 
     from pdfnet_tpu.data.prefetch import prefetch
 

@@ -152,3 +152,18 @@ def test_fps_sampling_strategy(h2o_tree):
     xyz = backproject_np(s_fps["depth"], s_fps["K_new"]).reshape(-1, 3)
     np.testing.assert_allclose(xyz[s_fps["choose"][0][:16]],
                                s_fps["cloud"][0][:16], atol=1e-5)
+
+
+def test_h2o_epoch_varies_augmentation(h2o_tree):
+    """The same sample must draw different augmentations in different epochs
+    (the per-sample RNG folds the epoch in), while staying deterministic
+    for a fixed (sample, epoch) pair."""
+    from pdfnet_tpu.data.h2o import H2ODataset
+    ds = H2ODataset(_cfg(h2o_tree), "train")
+    a0 = ds.__getitem__(0, epoch=0)
+    a0b = ds.__getitem__(0, epoch=0)
+    np.testing.assert_array_equal(a0["input"], a0b["input"])
+    diff = any(
+        not np.array_equal(a0["input"], ds.__getitem__(0, epoch=e)["input"])
+        for e in range(1, 6))
+    assert diff, "augmentation identical across epochs 1..5"

@@ -1,5 +1,7 @@
 """Loss + train-step integration tests on synthetic data (tiny config)."""
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -97,3 +99,73 @@ def test_lr_schedule():
     assert lr_at_epoch(cfg, 29) == pytest.approx(1e-4)
     assert lr_at_epoch(cfg, 30) == pytest.approx(1e-5)
     assert lr_at_epoch(cfg, 80) == pytest.approx(1e-5)
+
+
+def test_loss_joints_only_batch(setup):
+    """RHD-style batches (no vertex GT) must train: mesh terms drop to zero
+    and joint terms use the joint GT directly (simplified.py H2O gating)."""
+    cfg, model, consts, jb, state = setup
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    outs = model.apply(variables, jb["input"], jb["choose"], jb["cloud"],
+                       jb["depth"], jb["ind"], jb["K_new"], jb["valid"],
+                       train=False)
+    rhd = {k: v for k, v in jb.items()
+           if not k.startswith(("verts_", "verts2d_"))}
+    assert "verts_left_gt" not in rhd
+    loss, stats = compute_loss(cfg, consts, *outs, rhd, jnp.asarray(30),
+                               "train")
+    assert np.isfinite(float(loss))
+    for k in ("verts_loss", "abs_verts_loss", "gcn_loss", "norm_loss",
+              "edge_loss", "verts2d_loss", "gcn_2d_loss"):
+        assert float(stats[k]) == 0.0, k
+    for k in ("joints_loss", "abs_joints_loss", "joints2d_loss"):
+        assert float(stats[k]) > 0.0, k
+
+
+def test_focal_loss_zero_positive_sample():
+    """A sample with no positives must not get the 1/eps amplification."""
+    from pdfnet_tpu.train.loss import focal_loss
+    rng = np.random.RandomState(0)
+    gt = np.zeros((2, 8, 8, 2), np.float32)
+    gt[0, 3, 3, 0] = 1.0          # sample 0 has a positive, sample 1 none
+    pred = jnp.asarray(rng.uniform(0.05, 0.95, gt.shape).astype(np.float32))
+    per = np.asarray(focal_loss(pred, jnp.asarray(gt)))
+    assert per.shape == (2,)
+    assert np.isfinite(per).all()
+    # the zero-positive sample returns the raw (unnormalized) negative term,
+    # same magnitude class as the normalized one — not ~1000x larger
+    assert per[1] < per[0] * 100
+
+
+def test_checkpoint_retention(tmp_path):
+    from pdfnet_tpu.train import checkpoint as ckpt_lib
+
+    class S:   # minimal TrainState stand-in
+        params = {"w": np.zeros((2,), np.float32)}
+        batch_stats = {}
+        opt_state = ()
+        step = np.asarray(0)
+
+    for ep in range(5):
+        ckpt_lib.save_checkpoint(str(tmp_path), S(), ep, keep=3)
+    left = sorted(d for d in os.listdir(tmp_path) if d.startswith("model_"))
+    assert left == ["model_2", "model_3", "model_4"]
+
+
+def test_prefetch_close_releases_source():
+    from pdfnet_tpu.data.prefetch import prefetch
+    closed = []
+
+    def gen():
+        try:
+            for i in range(1000):
+                yield i
+        finally:
+            closed.append(True)
+
+    it = prefetch(gen(), depth=2)
+    assert next(it) == 0
+    it.close()
+    assert closed == [True]
+    with pytest.raises(StopIteration):
+        next(it)
