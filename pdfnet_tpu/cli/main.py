@@ -47,6 +47,10 @@ def build_argparser() -> argparse.ArgumentParser:
                     help="cap steps per epoch (smoke runs)")
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--replicate_reference_quirks", action="store_true")
+    ap.add_argument("--patch_heads", action="store_true",
+                    help="evaluate non-hm CenterNet heads only at the two "
+                         "hand centers (exact, big FLOP cut for wh/params/"
+                         "texture/light consumers)")
     return ap
 
 
@@ -72,6 +76,7 @@ def main(argv=None):
         seed=args.seed, sample_strategy=args.sample_strategy,
         cache_path=args.cache_path, pre_fix=args.pre_fix,
         replicate_reference_quirks=args.replicate_reference_quirks,
+        patch_heads=args.patch_heads,
     )
 
     if args.synthetic:

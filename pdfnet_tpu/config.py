@@ -74,6 +74,9 @@ class Config:
     ball_radius2: float = 0.04        # squared radius, level 2
     sample_strategy: str = "random"   # random | FPS
     knn_method: str = "pallas_fused"  # topk | approx | pallas | pallas_fused
+    # compute non-hm CenterNet heads only at the 2 hand centers via gathered
+    # 3x3 patches (exact; ret[head] becomes (B, 2, C) instead of a full map)
+    patch_heads: bool = False
     gather_method: str = "onehot"     # take | onehot
 
     # ---- GCN decoder ------------------------------------------------------

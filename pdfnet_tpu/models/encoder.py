@@ -41,6 +41,7 @@ class FPNEncoder(nn.Module):
     input_feature_num: int = 3
     knn_method: str = "topk"
     gather_method: str = "take"
+    patch_heads: bool = False         # non-hm heads only at the 2 centers
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -87,11 +88,19 @@ class FPNEncoder(nn.Module):
         pw_l2 = x0
         pw_emb = [pw_l0, pw_l1, pw_l2]
 
-        # CenterNet heads over x0.
+        # CenterNet heads over x0.  The hm head always needs the full map
+        # (focal loss + test-time center decode); every other head is only
+        # ever read at the 2 hand centers (reference CtdetLoss / simplified.py
+        # gather via _transpose_and_gather_feat), so with ``patch_heads`` they
+        # run on 3x3 gathered patches instead of the 96² map — identical
+        # values at the centers (same weights, zero-ring padding), ~1/4600
+        # the head FLOPs (e.g. the 2334-ch texture head drops ~55 GFLOP/img).
         ret = {}
+        is_hm = lambda h: ("hm" in h or "heatmap" in h or "handmap" in h)
         for head, out_dim in sorted(self.heads.items()):
-            bias = -4.59 if ("hm" in head or "heatmap" in head or
-                             "handmap" in head) else 0.0
+            if self.patch_heads and not is_hm(head):
+                continue
+            bias = -4.59 if is_hm(head) else 0.0
             ret[head] = CenterHead(out_dim, bias_init_value=bias,
                                    dtype=self.dtype, name=f"head_{head}")(x0)
 
@@ -99,6 +108,23 @@ class FPNEncoder(nn.Module):
         if ind is None:
             ind = decode_centers(clamped_sigmoid(
                 jax.lax.stop_gradient(ret["hm"])))
+
+        if self.patch_heads:
+            Hq0 = x0.shape[1]
+            x0p = jnp.pad(x0, ((0, 0), (1, 1), (1, 1), (0, 0)))
+            ys0 = (ind // Hq0).astype(jnp.int32)
+            xs0 = (ind % Hq0).astype(jnp.int32)
+            p3 = jax.vmap(
+                lambda img_b, yy, xx: jax.vmap(
+                    lambda y, x: jax.lax.dynamic_slice(
+                        img_b, (y, x, 0), (3, 3, gd)))(yy, xx)
+            )(x0p, ys0, xs0).reshape(B * 2, 3, 3, gd)
+            for head, out_dim in sorted(self.heads.items()):
+                if is_hm(head):
+                    continue
+                y = CenterHead(out_dim, bias_init_value=0.0, dtype=self.dtype,
+                               name=f"head_{head}")(p3, patch=True)
+                ret[head] = y.reshape(B, 2, out_dim)     # values at centers
 
         # Keypoint-heatmap and mask decoders from the 12x12 trunk feature.
         hms, hms_fmaps = PyramidDecoder(

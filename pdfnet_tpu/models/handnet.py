@@ -52,7 +52,7 @@ class HandNet(nn.Module):
             ball_radius=cfg.ball_radius, ball_radius2=cfg.ball_radius2,
             input_feature_num=cfg.input_feature_num,
             knn_method=cfg.knn_method, gather_method=cfg.gather_method,
-            dtype=dtype, name="encoder")
+            patch_heads=cfg.patch_heads, dtype=dtype, name="encoder")
 
         if choose is None or cloud is None:
             # Test-time: need the predicted mask first.  Run the encoder in

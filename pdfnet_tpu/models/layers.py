@@ -120,6 +120,12 @@ class CenterHead(nn.Module):
     """Per-task head over the fused FPN feature: 3x3 conv + relu + 1x1 conv.
 
     ``bias_init_value`` seeds the final bias (-4.59 for heatmap heads).
+
+    ``patch=True`` applies the same weights to pre-gathered 3x3 input
+    patches with VALID padding — mathematically identical to evaluating the
+    SAME-padded full-map head at the patch centers (away from borders), at a
+    tiny fraction of the FLOPs.  Parameter shapes/names are unchanged, so a
+    checkpoint works in both modes.
     """
 
     out_dim: int
@@ -128,8 +134,9 @@ class CenterHead(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
-        y = nn.Conv(self.mid_dim, (3, 3), padding=[(1, 1), (1, 1)],
+    def __call__(self, x, patch: bool = False):
+        pad = "VALID" if patch else [(1, 1), (1, 1)]
+        y = nn.Conv(self.mid_dim, (3, 3), padding=pad,
                     use_bias=True, dtype=self.dtype, name="conv0")(x)
         y = nn.relu(y)
         y = nn.Conv(self.out_dim, (1, 1), use_bias=True, dtype=self.dtype,

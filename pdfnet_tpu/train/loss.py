@@ -99,10 +99,12 @@ def reg_l1_loss(output_map: jax.Array, mask: jax.Array, ind: jax.Array,
                 target: jax.Array) -> jax.Array:
     """RegL1Loss / RegWeightedL1Loss (losses.py:479-489, :543-557): masked L1
     on features gathered at center indices, normalized by the masked element
-    count.  output_map (B, H, W, C), mask (B, K), ind (B, K),
+    count.  output_map (B, H, W, C) — or, under ``patch_heads``, the values
+    already gathered at the centers (B, K, C) — mask (B, K), ind (B, K),
     target (B, K, C)."""
     from pdfnet_tpu.ops.gather import gather_pixels
-    pred = gather_pixels(output_map, ind)
+    pred = output_map if output_map.ndim == 3 else gather_pixels(output_map,
+                                                                 ind)
     m = jnp.broadcast_to(mask[..., None], pred.shape).astype(pred.dtype)
     return jnp.abs(pred * m - target * m).sum() / (m.sum() + 1e-8)
 
@@ -183,8 +185,10 @@ def photometric_terms(
 
     B = verts_abs_left.shape[0]
     res = cfg.default_resolution
-    tex = gather_pixels(other["ret"]["texture"], ind)        # (B, 2, 2334)
-    light = gather_pixels(other["ret"]["light"], ind)        # (B, 2, 27)
+    tex, light = other["ret"]["texture"], other["ret"]["light"]
+    if tex.ndim != 3:                                        # full maps
+        tex = gather_pixels(tex, ind)                        # (B, 2, 2334)
+        light = gather_pixels(light, ind)                    # (B, 2, 27)
     tex = jax.nn.sigmoid(tex.reshape(B, 2, 778, 3))
 
     nl = vertex_normals(verts_abs_left, consts.faces_left)

@@ -95,8 +95,11 @@ def mano_branch_loss(
     batch: Dict[str, jax.Array],
 ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
     """Reprojection + bone + prior losses for the regression branch."""
-    theta_l = gather_pixels(params_map, ind[:, :1])[:, 0]   # (B, 122)
-    theta_r = gather_pixels(params_map, ind[:, 1:])[:, 0]
+    if params_map.ndim == 3:        # patch_heads: already (B, 2, 122)
+        theta_l, theta_r = params_map[:, 0], params_map[:, 1]
+    else:
+        theta_l = gather_pixels(params_map, ind[:, :1])[:, 0]   # (B, 122)
+        theta_r = gather_pixels(params_map, ind[:, 1:])[:, 0]
     K = batch["K_new"]
     valid = batch["valid"]
     res = cfg.default_resolution

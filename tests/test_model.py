@@ -110,3 +110,29 @@ def test_infer_rgbd_self_contained(model_and_vars):
         assert v.shape == (1, 778, 3) and np.isfinite(v).all()
     ind = np.asarray(other["ind"])
     assert ((ind >= 0) & (ind < (cfg.default_resolution // 4) ** 2)).all()
+
+
+def test_patch_heads_exact(model_and_vars):
+    """patch_heads=True must reproduce the full-map head values at the two
+    centers exactly (same weights on gathered 3x3 patches) and leave every
+    other output untouched."""
+    import dataclasses
+    from pdfnet_tpu.ops.gather import gather_pixels
+
+    cfg, model, variables, inputs = model_and_vars
+    model_p = build_model(dataclasses.replace(cfg, patch_heads=True))
+    jin = list(map(jnp.asarray, inputs))
+    r1 = model.apply(variables, *jin, train=False)
+    r2 = model_p.apply(variables, *jin, train=False)
+    ret1, ret2 = r1[3]["ret"], r2[3]["ret"]
+    ind = r1[3]["ind"]
+    np.testing.assert_array_equal(np.asarray(ret2["hm"]),
+                                  np.asarray(ret1["hm"]))
+    for head in ("wh", "params"):
+        assert ret2[head].shape == (1, 2, ret1[head].shape[-1])
+        want = np.asarray(gather_pixels(ret1[head], ind))
+        np.testing.assert_allclose(np.asarray(ret2[head]), want,
+                                   rtol=1e-5, atol=1e-5)
+    np.testing.assert_array_equal(
+        np.asarray(r2[0]["verts3d"]["left"]),
+        np.asarray(r1[0]["verts3d"]["left"]))

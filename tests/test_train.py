@@ -169,3 +169,31 @@ def test_prefetch_close_releases_source():
     assert closed == [True]
     with pytest.raises(StopIteration):
         next(it)
+
+
+def test_patch_heads_train_loss(setup):
+    """Training losses that read the non-hm heads (wh) must accept the
+    pre-gathered (B, 2, C) layout produced by patch_heads."""
+    import dataclasses
+    cfg, model, consts, jb, state = setup
+    cfg_p = dataclasses.replace(cfg, patch_heads=True, use_wh_loss=True)
+    model_p = build_model(cfg_p)
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    outs = model_p.apply(variables, jb["input"], jb["choose"], jb["cloud"],
+                         jb["depth"], jb["ind"], jb["K_new"], jb["valid"],
+                         train=False)
+    assert outs[3]["ret"]["wh"].shape == (2, 2, 2)       # (B, hands, C)
+    loss, stats = compute_loss(cfg_p, consts, *outs, jb, jnp.asarray(30),
+                               "train")
+    assert np.isfinite(float(loss))
+    assert np.isfinite(float(stats["wh_loss"]))
+    # same value as the full-map path (exact head equivalence at centers)
+    cfg_f = dataclasses.replace(cfg, use_wh_loss=True)
+    outs_f = build_model(cfg_f).apply(
+        variables, jb["input"], jb["choose"], jb["cloud"], jb["depth"],
+        jb["ind"], jb["K_new"], jb["valid"], train=False)
+    _, stats_f = compute_loss(cfg_f, consts, *outs_f, jb, jnp.asarray(30),
+                              "train")
+    np.testing.assert_allclose(float(stats["wh_loss"]),
+                               float(stats_f["wh_loss"]), rtol=1e-5,
+                               atol=1e-6)
