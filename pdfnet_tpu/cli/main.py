@@ -51,6 +51,14 @@ def build_argparser() -> argparse.ArgumentParser:
                     help="evaluate non-hm CenterNet heads only at the two "
                          "hand centers (exact, big FLOP cut for wh/params/"
                          "texture/light consumers)")
+    ap.add_argument("--profile_dir", default="",
+                    help="capture a jax.profiler device trace window here "
+                         "(view in TensorBoard/Perfetto)")
+    ap.add_argument("--image_summary", action="store_true",
+                    help="write input|pred|gt render grids every 500 steps")
+    ap.add_argument("--vis_every", type=int, default=0,
+                    help="eval-loop visual dumps (overlay/skeleton/.obj) "
+                         "every N samples, as the reference does every 500")
     return ap
 
 
@@ -77,6 +85,8 @@ def main(argv=None):
         cache_path=args.cache_path, pre_fix=args.pre_fix,
         replicate_reference_quirks=args.replicate_reference_quirks,
         patch_heads=args.patch_heads,
+        profile_dir=args.profile_dir,
+        image_summary=args.image_summary,
     )
 
     if args.synthetic:
@@ -106,7 +116,9 @@ def main(argv=None):
         trainer.init_state(first)
         if cfg.load_model:
             trainer.load(cfg.load_model, resume_optimizer=False)
-        acc = trainer.evaluate(eval_data.batches(1, 0))
+        acc = trainer.evaluate(
+            eval_data.batches(1, 0), vis_every=args.vis_every,
+            vis_dir=os.path.join(cfg.output_path, "imgs"))
         block = acc.format_block(cfg.exp_id)
         print(block)
         os.makedirs(cfg.output_path, exist_ok=True)

@@ -63,6 +63,17 @@ class Config:
     start_epoch: int = 0
     optimizer: str = "Adam"
     edge_loss_start_epoch: int = 20   # alpha gate in simplified.py:609
+    # train-loop image grids (input | pred render | gt render) every N steps;
+    # the reference logs them every 500 steps on the photometric path
+    # (base_trainer.py:174-190).  0 disables; image_summary forces them on
+    # even without photometric_loss.
+    image_summary_every: int = 500
+    image_summary: bool = False
+    # jax.profiler device-trace window (empty = off); traces land under
+    # {profile_dir} and open in TensorBoard/Perfetto
+    profile_dir: str = ""
+    profile_start_step: int = 10
+    profile_num_steps: int = 5
 
     # ---- pointnet ---------------------------------------------------------
     sample_num: int = 1024            # SAMPLE_NUM

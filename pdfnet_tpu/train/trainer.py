@@ -45,6 +45,15 @@ class Logger:
         self.f.write(json.dumps(rec) + "\n")
         self.f.flush()
 
+    def image(self, step: int, tag: str, img: np.ndarray) -> str:
+        """Write a uint8 BGR image summary (replaces TB image_summary)."""
+        import cv2
+        img_dir = os.path.join(self.dir, "images")
+        os.makedirs(img_dir, exist_ok=True)
+        path = os.path.join(img_dir, f"{tag}_{step:08d}.png")
+        cv2.imwrite(path, img)
+        return path
+
     def write(self, msg: str):
         print(msg, flush=True)
 
@@ -60,6 +69,9 @@ class Trainer:
         self.train_step = make_train_step(cfg, self.model, self.consts)
         self.eval_step = make_eval_step(cfg, self.model, self.consts)
         self.state: Optional[TrainState] = None
+        from pdfnet_tpu.utils.profiler import StepProfiler
+        self.profiler = StepProfiler(cfg.profile_dir, cfg.profile_start_step,
+                                     cfg.profile_num_steps)
 
     def init_state(self, sample_batch: Dict[str, np.ndarray],
                    seed: int = 317) -> TrainState:
@@ -82,37 +94,146 @@ class Trainer:
         # the end of the epoch.
         running = None
         n = 0
+        img_every = self.cfg.image_summary_every
+        log_images = (logger is not None and img_every > 0 and
+                      (self.cfg.photometric_loss or self.cfg.image_summary))
         try:
             for i, batch in enumerate(batches):
+                host_batch = batch
+                self.profiler.data_tick()
                 batch = mesh_lib.shard_batch(
                     {k: v for k, v in batch.items()}, self.mesh,
                     self.cfg.data_axis)
                 rng = jax.random.fold_in(jax.random.PRNGKey(epoch), i)
-                self.state, stats = self.train_step(self.state, batch, ep, lr,
-                                                    rng)
+                with self.profiler.step():
+                    self.state, stats = self.train_step(self.state, batch,
+                                                        ep, lr, rng)
                 n += 1
                 running = (stats if running is None else
                            jax.tree.map(jnp.add, running, stats))
                 if logger and (i % log_every == 0):
                     logger.scalars(int(self.state.step),
                                    {k: float(v) for k, v in stats.items()})
+                # interval check is host-side; the device sync for the step
+                # tag only happens on the (rare) logging iterations
+                if log_images and (n - 1) % img_every == 0:
+                    grid = self.image_summary(host_batch)
+                    if grid is not None:
+                        logger.image(int(self.state.step), "train", grid)
         finally:
+            self.profiler.close()
             close = getattr(batches, "close", None)
             if close is not None:
                 close()
         if running is None:
             return {}
         host = jax.device_get(running)
-        return {k: float(v) / max(n, 1) for k, v in host.items()}
+        out = {k: float(v) / max(n, 1) for k, v in host.items()}
+        out.update(self.profiler.summary())
+        return out
+
+    def image_summary(self, batch: Dict[str, np.ndarray],
+                      max_imgs: int = 4) -> Optional[np.ndarray]:
+        """Render an ``input | pred | gt`` grid for the first samples of a
+        host batch (reference base_trainer.py:174-190 image_summary).
+        Returns a uint8 BGR image, or None if the model isn't initialized."""
+        if self.state is None:
+            return None
+        from pdfnet_tpu import assets
+        from pdfnet_tpu.render import render_two_hands
+
+        cfg = self.cfg
+        n = min(max_imgs, batch["input"].shape[0])
+        small = {k: jnp.asarray(v[:n]) for k, v in batch.items()}
+        out = self.eval_step(self.state.params, self.state.batch_stats, small)
+        out = jax.tree.map(np.asarray, out)
+
+        mean = np.asarray(cfg.mean, np.float32)
+        std = np.asarray(cfg.std, np.float32)
+        faces_l = assets.load_mano("left").faces
+        faces_r = assets.load_mano("right").faces
+        has_gt = "verts_gt" in out
+        res = cfg.default_resolution
+
+        rows = []
+        for i in range(n):
+            img = np.clip((batch["input"][i] * std + mean) * 255, 0, 255)
+            img = img.astype(np.uint8)[..., ::-1]  # RGB -> BGR for cv2
+            panels = [img]
+            sets = [out["verts_pred"][i]]
+            if has_gt:
+                sets.append(out["verts_gt"][i])
+            K = jnp.asarray(batch["K_new"][i])
+            for verts in sets:
+                rgb, rmask, _ = render_two_hands(
+                    jnp.asarray(verts[0]), jnp.asarray(verts[1]), K,
+                    faces_l, faces_r, res, res)
+                rgb = np.asarray(rgb)[..., ::-1] * 255
+                rmask = np.asarray(rmask)[..., None]
+                panels.append((rgb * rmask + img * (1 - rmask))
+                              .astype(np.uint8))
+            rows.append(np.concatenate(panels, axis=1))
+        return np.concatenate(rows, axis=0)
 
     def evaluate(self, batches: Iterable[Dict[str, np.ndarray]],
+                 vis_every: int = 0, vis_dir: str = "outputs/imgs",
                  ) -> MetricAccumulator:
         acc = MetricAccumulator()
+        seen = 0
         for batch in batches:
             jb = {k: jnp.asarray(v) for k, v in batch.items()}
             out = self.eval_step(self.state.params, self.state.batch_stats, jb)
+            if vis_every and seen % vis_every == 0:
+                self._dump_eval_vis(jax.tree.map(np.asarray, out), batch,
+                                    seen, vis_dir)
+            seen += batch["input"].shape[0]
             acc.update(jax.tree.map(np.asarray, out), batch)
         return acc
+
+    def _dump_eval_vis(self, out: Dict[str, np.ndarray],
+                       batch: Dict[str, np.ndarray], file_id: int,
+                       vis_dir: str) -> None:
+        """Eval-loop visual spot checks (reference simplified.py:285-330,
+        545-596, every 500 samples): projected-vertex overlay, predicted
+        skeleton, and pred/GT .obj mesh dumps for the first batch sample."""
+        from pdfnet_tpu import assets
+        from pdfnet_tpu.utils.vis import (draw_hand_skeleton, draw_landmarks,
+                                          write_obj)
+
+        os.makedirs(vis_dir, exist_ok=True)
+        cfg = self.cfg
+        mean = np.asarray(cfg.mean, np.float32)
+        std = np.asarray(cfg.std, np.float32)
+        img = np.clip((np.asarray(batch["input"][0]) * std + mean) * 255,
+                      0, 255).astype(np.uint8)[..., ::-1]
+
+        K = np.asarray(batch["K_new"][0])
+        verts = out["verts_pred"][0]                     # (2, 778, 3) abs
+        overlay = img.copy()
+        for hand, color in ((0, (0, 0, 255)), (1, (0, 255, 0))):
+            uvw = verts[hand] @ K.T
+            uv = uvw[:, :2] / np.maximum(uvw[:, 2:], 1e-6)
+            overlay = draw_landmarks(overlay, uv, color=color, size=2)
+        import cv2
+        cv2.imwrite(os.path.join(vis_dir, f"image_proj_left_{file_id}.jpg"),
+                    overlay)
+        bones = draw_hand_skeleton(img.copy(), out["lms21_pred"][0, 0])
+        draw_hand_skeleton(
+            bones, out["lms21_pred"][0, 1],
+            os.path.join(vis_dir, f"kps_bone_pred_{file_id}.jpg"))
+
+        faces = {"l": assets.load_mano("left").faces,
+                 "r": assets.load_mano("right").faces}
+        off = out["verts_pred_off"][0]
+        for hand, side in ((0, "l"), (1, "r")):
+            write_obj(os.path.join(vis_dir, f"{side}hands_{file_id}.obj"),
+                      off[hand], faces[side])
+        if "verts_gt_off" in out:
+            gt = out["verts_gt_off"][0]
+            for hand, side in ((0, "l"), (1, "r")):
+                write_obj(
+                    os.path.join(vis_dir, f"gt_hands_{side}{file_id}.obj"),
+                    gt[hand], faces[side])
 
     def save(self, ckpt_dir: str, epoch: int) -> str:
         return ckpt_lib.save_checkpoint(ckpt_dir, jax.device_get(self.state),

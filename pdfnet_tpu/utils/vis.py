@@ -71,3 +71,13 @@ def draw_landmarks(img: np.ndarray, lms: np.ndarray,
     for x, y in lms:
         cv2.circle(img, (int(x), int(y)), size, color, size)
     return img
+
+
+def write_obj(path: str, verts: np.ndarray, faces: np.ndarray) -> None:
+    """Dump a mesh as Wavefront .obj (reference simplified.py:296-330
+    pred/GT hand dumps; faces are 0-based, .obj is 1-based)."""
+    with open(path, "w") as f:
+        for v in verts:
+            f.write(f"v {v[0]:f} {v[1]:f} {v[2]:f}\n")
+        for tri in np.asarray(faces, np.int64) + 1:
+            f.write(f"f {tri[0]} {tri[1]} {tri[2]}\n")

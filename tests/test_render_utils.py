@@ -134,3 +134,40 @@ def test_skeleton_drawing():
     joints = np.stack([np.linspace(10, 80, 21), np.linspace(10, 80, 21)], 1)
     out = draw_hand_skeleton(img, joints)
     assert out.sum() > 0
+
+
+def test_freihand_scorer(tmp_path):
+    """Full FreiHAND-protocol scorer (reference eval.py:205-383)."""
+    from pdfnet_tpu.utils.eval_kit import score_predictions
+
+    rng = np.random.RandomState(0)
+    gt_xyz = [rng.randn(21, 3) * 0.05 for _ in range(4)]
+    gt_verts = [rng.randn(778, 3) * 0.05 for _ in range(4)]
+    # predictions = rotated + scaled + shifted GT plus small noise:
+    # raw error is large, procrustes-aligned error is the noise floor
+    th = 0.4
+    R = np.array([[np.cos(th), -np.sin(th), 0],
+                  [np.sin(th), np.cos(th), 0], [0, 0, 1.0]])
+    pred_xyz = [x @ R.T * 1.1 + 0.02 + rng.randn(21, 3) * 1e-4
+                for x in gt_xyz]
+    pred_verts = [v @ R.T * 1.1 + 0.02 + rng.randn(778, 3) * 1e-4
+                  for v in gt_verts]
+    out = str(tmp_path)
+    s = score_predictions(gt_xyz, gt_verts, pred_xyz, pred_verts, out)
+    assert s["xyz_procrustes_al_mean3d"] < 0.1        # cm, ~noise floor
+    assert s["xyz_mean3d"] > s["xyz_scale_trans_al_mean3d"] \
+        > s["xyz_procrustes_al_mean3d"]
+    assert s["mesh_al_auc3d"] > 0.95
+    assert 0 <= s["f_score_5"] <= 1
+    # artifacts exist and the html embeds all five curves
+    txt = open(f"{out}/scores.txt").read()
+    assert "xyz_procrustes_al_mean3d" in txt and "f_al_score_15" in txt
+    html = open(f"{out}/scores2.html").read()
+    assert html.count("<svg") == 5 and "PCV curve" in html
+
+
+def test_fscore_perfect_match():
+    from pdfnet_tpu.utils.eval_kit import calculate_fscore
+    pts = np.random.RandomState(1).randn(50, 3)
+    f, p, r = calculate_fscore(pts, pts, 0.005)
+    assert f == 1.0 and p == 1.0 and r == 1.0
