@@ -26,7 +26,9 @@ class Config:
     output_path: str = "outputs"
 
     # ---- model ------------------------------------------------------------
-    arch: str = "resnet50"
+    arch: str = "resnet50"            # resnet50 (HandNet) | csp_50 | csp_18
+    use_uv_prior: bool = False        # CSP: EncodeUV heatmap-prior branch
+    iterations: bool = True           # CSP: 3-step params-head refinement
     default_resolution: int = 384     # input crop resolution
     down_ratio: int = 4               # centernet output stride
     num_classes: int = 2              # left/right center heatmap channels

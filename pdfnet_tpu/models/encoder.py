@@ -14,7 +14,7 @@ import jax
 import jax.numpy as jnp
 
 from pdfnet_tpu.models.layers import (CenterHead, ConvActBN, L2Norm,
-                                      PyramidDecoder, SFTLayer)
+                                      PyramidDecoder, SFTLayer, StridedUpConv)
 from pdfnet_tpu.models.pointnet import PointNetPlus
 from pdfnet_tpu.models.resnet import ResNet
 from pdfnet_tpu.ops.gather import gather_pixels
@@ -72,10 +72,11 @@ class FPNEncoder(nn.Module):
                      name="p2")(x4)
         p3 = nn.ConvTranspose(gd, (4, 4), strides=(2, 2), padding="SAME",
                               dtype=self.dtype, name="p3")(x3)
-        p4 = nn.ConvTranspose(gd, (4, 4), strides=(4, 4), padding="VALID",
-                              dtype=self.dtype, name="p4")(x2)
-        p5 = nn.ConvTranspose(gd, (8, 8), strides=(8, 8), padding="VALID",
-                              dtype=self.dtype, name="p5")(x1)
+        # p4/p5 have kernel == stride: StridedUpConv computes the identical
+        # conv-transpose as a matmul + depth-to-space (~10x faster on MXU
+        # for the 12x12-input p5; same params, checkpoint-compatible).
+        p4 = StridedUpConv(gd, 4, dtype=self.dtype, name="p4")(x2)
+        p5 = StridedUpConv(gd, 8, dtype=self.dtype, name="p5")(x1)
         p2 = L2Norm(name="p2_l2")(p2)
         p3 = L2Norm(name="p3_l2")(p3)
         p4 = L2Norm(name="p4_l2")(p4)

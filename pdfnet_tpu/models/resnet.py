@@ -42,10 +42,37 @@ class Bottleneck(nn.Module):
         return nn.relu(y + shortcut)
 
 
+class BasicBlock(nn.Module):
+    """Two-3x3-conv residual block (ResNet-18/34)."""
+
+    width: int
+    stride: int = 1
+    project: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        norm = lambda name: nn.BatchNorm(
+            use_running_average=not train, momentum=0.9, epsilon=1e-5,
+            dtype=jnp.float32, name=name)
+        conv = lambda f, k, s, name: nn.Conv(
+            f, (k, k), strides=(s, s), padding=[(k // 2, k // 2)] * 2,
+            use_bias=False, dtype=self.dtype, name=name)
+
+        shortcut = x
+        if self.project:
+            shortcut = conv(self.width, 1, self.stride, "proj_conv")(x)
+            shortcut = norm("proj_bn")(shortcut)
+        y = nn.relu(norm("bn1")(conv(self.width, 3, self.stride, "conv1")(x)))
+        y = norm("bn2")(conv(self.width, 3, 1, "conv2")(y))
+        return nn.relu(y + shortcut)
+
+
 class ResNet(nn.Module):
-    """ResNet-v1 with bottleneck blocks (50/101/152 layouts)."""
+    """ResNet-v1; bottleneck (50/101/152) or basic (18/34) blocks."""
 
     stage_sizes: Sequence[int] = (3, 4, 6, 3)
+    block: str = "bottleneck"         # bottleneck | basic
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -59,14 +86,21 @@ class ResNet(nn.Module):
         y = nn.max_pool(stem, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
         outs = []
         widths = (64, 128, 256, 512)
+        basic = self.block == "basic"
         for i, (n_blocks, w) in enumerate(zip(self.stage_sizes, widths)):
             for b in range(n_blocks):
                 stride = 2 if (b == 0 and i > 0) else 1
-                y = Bottleneck(width=w, stride=stride, project=(b == 0),
-                               dtype=self.dtype, name=f"layer{i + 1}_{b}")(y, train)
+                project = (b == 0) if not basic else (b == 0 and i > 0)
+                cls = BasicBlock if basic else Bottleneck
+                y = cls(width=w, stride=stride, project=project,
+                        dtype=self.dtype, name=f"layer{i + 1}_{b}")(y, train)
             outs.append(y)
         # stem (pre-maxpool), layer1..layer4
         return (stem, *outs)
+
+
+def resnet18(dtype=jnp.float32) -> ResNet:
+    return ResNet(stage_sizes=(2, 2, 2, 2), block="basic", dtype=dtype)
 
 
 def resnet50(dtype=jnp.float32) -> ResNet:

@@ -76,18 +76,27 @@ def _knn_kernel(points_ref, centers_ref, idx_ref, dist_ref, *, k: int,
     _select_loop(d, k, n_points, emit)
 
 
-def _knn_gather_kernel(points_ref, centers_ref, idx_ref, dist_ref,
-                       nx_ref, ny_ref, nz_ref, *, k: int, n_points: int):
+def _knn_gather_kernel(points_ref, centers_ref, pts_nx3_ref, idx_ref,
+                       dist_ref, nx_ref, ny_ref, nz_ref, *, k: int,
+                       n_points: int):
     dx, dy, dz = _coords(points_ref, centers_ref)
     d = dx * dx + dy * dy + dz * dz
-    zero = jnp.zeros_like(dx)
+    cx = centers_ref[0, 0, :]
+    cy = centers_ref[0, 1, :]
+    cz = centers_ref[0, 2, :]
+    pts = pts_nx3_ref[0]                       # (N, 3) f32, shared by rows
 
     def emit(j, arg, m, sel):
         idx_ref[0, j, :] = arg
         dist_ref[0, j, :] = m
-        nx_ref[0, j, :] = jnp.sum(jnp.where(sel, dx, zero), axis=1)
-        ny_ref[0, j, :] = jnp.sum(jnp.where(sel, dy, zero), axis=1)
-        nz_ref[0, j, :] = jnp.sum(jnp.where(sel, dz, zero), axis=1)
+        # One MXU dot replaces three masked (TILE_S, N) sum-reductions:
+        # sel is one-hot per row, so dot(sel, pts) = pts[arg] exactly, and
+        # pts[arg] - c is bit-identical to the masked sum of (pts - c).
+        g = jnp.dot(sel.astype(jnp.float32), pts,
+                    preferred_element_type=jnp.float32)   # (TILE_S, 3)
+        nx_ref[0, j, :] = g[:, 0] - cx
+        ny_ref[0, j, :] = g[:, 1] - cy
+        nz_ref[0, j, :] = g[:, 2] - cz
 
     _select_loop(d, k, n_points, emit)
 
@@ -189,7 +198,8 @@ def group_feat_pallas(feat: jax.Array, k: int, num_centers: int,
             valid.transpose(0, 2, 1))
 
 
-def _call(kernel, n_outputs, centers, points, k, interpret):
+def _call(kernel, n_outputs, centers, points, k, interpret,
+          pass_pts_nx3: bool = False):
     B, S, _ = centers.shape
     N = points.shape[1]
     assert S % TILE_S == 0, f"S={S} must be a multiple of {TILE_S}"
@@ -198,19 +208,26 @@ def _call(kernel, n_outputs, centers, points, k, interpret):
     out_spec = pl.BlockSpec((1, k, TILE_S), lambda b, s: (b, 0, s),
                             memory_space=pltpu.VMEM)
     dtypes = [jnp.int32] + [jnp.float32] * (n_outputs - 1)
+    in_specs = [
+        pl.BlockSpec((1, 3, N), lambda b, s: (b, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 3, TILE_S), lambda b, s: (b, 0, s),
+                     memory_space=pltpu.VMEM),
+    ]
+    operands = [pts_t, ctr_t]
+    if pass_pts_nx3:
+        # untransposed points for the in-kernel one-hot MXU gather
+        in_specs.append(pl.BlockSpec((1, N, 3), lambda b, s: (b, 0, 0),
+                                     memory_space=pltpu.VMEM))
+        operands.append(points)
     return pl.pallas_call(
         functools.partial(kernel, k=k, n_points=N),
         grid=(B, S // TILE_S),
-        in_specs=[
-            pl.BlockSpec((1, 3, N), lambda b, s: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 3, TILE_S), lambda b, s: (b, 0, s),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=[out_spec] * n_outputs,
         out_shape=[jax.ShapeDtypeStruct((B, k, S), dt) for dt in dtypes],
         interpret=interpret,
-    )(pts_t, ctr_t)
+    )(*operands)
 
 
 @functools.partial(jax.jit, static_argnames=("k", "interpret"))
@@ -240,7 +257,7 @@ def knn_gather_xyz_pallas(centers: jax.Array, points: jax.Array, k: int = 64,
     grouping (before ball-query substitution) in one kernel.
     """
     idx, dist, nx, ny, nz = _call(_knn_gather_kernel, 5, centers, points, k,
-                                  interpret)
+                                  interpret, pass_pts_nx3=True)
     nbr = jnp.stack([nx, ny, nz], axis=-1)         # (B, k, S, 3)
     return (dist.transpose(0, 2, 1), idx.transpose(0, 2, 1),
             nbr.transpose(0, 2, 1, 3))

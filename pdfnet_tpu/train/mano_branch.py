@@ -135,3 +135,38 @@ def mano_branch_loss(
     total = total + prior
     losses["mano_branch_loss"] = total.mean()
     return total.mean(), losses
+
+
+def csp_loss(
+    cfg: Config,
+    consts: ManoBranchConsts,
+    ret: Dict[str, jax.Array],    # CSPNet outputs (params = list of thetas)
+    batch: Dict[str, jax.Array],
+) -> Tuple[jax.Array, Dict[str, jax.Array]]:
+    """Training loss for the CSP alternate detector: center focal loss +
+    the MANO-theta regression terms on the last refinement iteration
+    (reference origforward, simplified.py:657-760; hm/wh handling
+    :695-717).  The CSP head grid is /4 (like the flagship model), so the
+    default ``Config(down_ratio=4)`` dataset targets match directly."""
+    from pdfnet_tpu.ops.heatmap import clamped_sigmoid
+    from pdfnet_tpu.train.loss import focal_loss, reg_l1_loss
+
+    losses = {}
+    hm = clamped_sigmoid(ret["hm"])
+    hm_loss = focal_loss(hm, batch["hm"]).mean()   # focal is per-sample (B,)
+    losses["hm_loss"] = hm_loss
+    total_scalar = cfg.center_weight * hm_loss
+
+    if cfg.use_wh_loss and "wh" in ret and "wh" in batch:
+        wh_loss = reg_l1_loss(ret["wh"], batch["valid"], batch["ind"],
+                              batch["wh"])
+        losses["wh_loss"] = wh_loss
+        total_scalar = total_scalar + cfg.wh_weight * wh_loss
+
+    theta_map = ret["params"][-1]     # last refinement iteration
+    mano_total, mano_losses = mano_branch_loss(cfg, consts, theta_map,
+                                               batch["ind"], batch)
+    losses.update(mano_losses)
+    total = total_scalar + mano_total
+    losses["loss"] = total
+    return total, losses

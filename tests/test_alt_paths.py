@@ -120,3 +120,57 @@ def test_testtime_pointcloud_op():
     cl = np.asarray(cloud)[0, 0]
     assert np.all(np.abs(cl[:, 2] - 0.5) < 1e-5)
     assert np.asarray(cloud)[0, 1].sum() == 0
+
+
+def test_csp_model_forward_and_loss():
+    """CSP alternate detector (resnet_csp.py PoseResNet): forward shapes,
+    iterative params refinement, and a grad step through csp_loss."""
+    from pdfnet_tpu.models.csp import build_csp_model
+    from pdfnet_tpu.train.mano_branch import csp_loss
+
+    cfg = tiny_cfg(arch="csp_18", batch_size=2)
+    model = build_csp_model(cfg)
+    batch = make_batch(cfg, 2, seed=5)
+    jb = {k: jnp.asarray(v) for k, v in batch.items()}
+    variables = model.init({"params": jax.random.PRNGKey(0)},
+                           jb["input"], jb["depth"], True)
+    ret, mutated = model.apply(variables, jb["input"], jb["depth"], True,
+                               mutable=["batch_stats"])
+    g = cfg.output_res            # 96/4 = 24 (CSP FPN lands at /4)
+    assert ret["hm"].shape == (2, g, g, 2)
+    assert ret["wh"].shape == (2, g, g, 2)
+    assert isinstance(ret["params"], list) and len(ret["params"]) == 3
+    assert ret["params"][-1].shape == (2, g, g, 122)
+
+    consts = load_mano_branch_consts()
+
+    def loss_fn(params):
+        ret, _ = model.apply({"params": params,
+                              "batch_stats": variables["batch_stats"]},
+                             jb["input"], jb["depth"], True,
+                             mutable=["batch_stats"])
+        loss, stats = csp_loss(cfg, consts, ret, jb)
+        return loss, stats
+
+    (loss, stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+        variables["params"])
+    assert np.isfinite(float(loss))
+    assert "hm_loss" in stats and "reproj_left" in stats
+    gmax = max(jax.tree.leaves(jax.tree.map(
+        lambda g: float(jnp.abs(g).max()), grads)))
+    assert np.isfinite(gmax) and gmax > 0
+
+
+def test_csp_uv_prior_branch():
+    """EncodeUV + uv-prior decoder branch (resnet_csp.py:259-284)."""
+    from pdfnet_tpu.models.csp import CSPNet
+
+    model = CSPNet(heads={"hm": 2, "params": 122}, arch="csp_18",
+                   use_heatmaps=True, iterations=1)
+    x = jnp.zeros((1, 96, 96, 3))
+    d = jnp.zeros((1, 96, 96))
+    variables = model.init({"params": jax.random.PRNGKey(0)}, x, d, True)
+    ret, _ = model.apply(variables, x, d, True, mutable=["batch_stats"])
+    assert ret["uv_prior"].shape == (1, 48, 48, 21)    # /2 grid
+    assert ret["hm"].shape == (1, 24, 24, 2)           # /4 grid
+    assert 0.0 < float(ret["uv_prior"].mean()) < 1.0

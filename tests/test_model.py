@@ -136,3 +136,21 @@ def test_patch_heads_exact(model_and_vars):
     np.testing.assert_array_equal(
         np.asarray(r2[0]["verts3d"]["left"]),
         np.asarray(r1[0]["verts3d"]["left"]))
+
+
+def test_strided_upconv_equals_convtranspose():
+    """StridedUpConv must be parameter- and output-compatible with
+    nn.ConvTranspose(k=s, VALID) (used for the FPN p4/p5 paths)."""
+    import flax.linen as nn
+    from pdfnet_tpu.models.layers import StridedUpConv
+
+    rng = np.random.RandomState(3)
+    for f, cin, cout, hw in ((4, 8, 5, 6), (8, 16, 4, 3)):
+        x = jnp.asarray(rng.randn(2, hw, hw, cin).astype(np.float32))
+        ct = nn.ConvTranspose(cout, (f, f), strides=(f, f), padding="VALID")
+        v = ct.init(jax.random.PRNGKey(0), x)
+        ref = ct.apply(v, x)
+        up = StridedUpConv(cout, f)
+        out = up.apply(v, x)   # same param tree
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=1e-5)
