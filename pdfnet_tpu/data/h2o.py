@@ -77,8 +77,33 @@ class H2ODataset:
             val_cache = os.path.join(cfg.cache_path, f"{name}_val.pkl")
             if os.path.exists(val_cache):
                 self.records += self._load(val_cache, name)
-        if split == "test" and name == "H2O":
-            self.records = self.records[:100]
+        self.records = self._slice_split(self.records, name, split)
+
+    @staticmethod
+    def _slice_split(records: List[Dict], name: str, split: str) -> List[Dict]:
+        """Per-dataset split slicing (joint_dataset.py:86-127 prepare_data):
+        FreiHAND/HO3D hold out the first+last 3000 records for val,
+        OneHand10K the first+last 1000 for test, H2O tests on the first
+        100; everything else passes through."""
+        if name == "FreiHAND":
+            if split == "val":
+                return records[:3000] + records[-3000:]
+            return records
+        if name in ("HO3D", "HO3Dv3"):
+            if split == "val":
+                return records[:3000] + records[-3000:]
+            if split == "test":
+                return records
+            return records[3000:-3000]
+        if name == "OneHand10K":
+            if split == "test":
+                return records[:1000] + records[-1000:]
+            if split == "eval":
+                return records
+            return records[1000:-1000]
+        if name == "H2O" and split == "test":
+            return records[:100]
+        return records
 
     def _load(self, cache: str, name: str) -> List[Dict]:
         with open(cache, "rb") as f:

@@ -112,8 +112,17 @@ class Trainer:
                 running = (stats if running is None else
                            jax.tree.map(jnp.add, running, stats))
                 if logger and (i % log_every == 0):
-                    logger.scalars(int(self.state.step),
-                                   {k: float(v) for k, v in stats.items()})
+                    cur = {k: float(v) for k, v in stats.items()}
+                    logger.scalars(int(self.state.step), cur)
+                    # console progress with running means (the reference's
+                    # Bar.suffix "|loss avg |cur_loss val" line,
+                    # base_trainer.py:154-165)
+                    avg = {k: float(v) / n
+                           for k, v in jax.device_get(running).items()}
+                    logger.write(
+                        f"train: [{epoch}][{i}]"
+                        f"|loss {avg.get('loss', 0.0):.4f} "
+                        f"|cur_loss {cur.get('loss', 0.0):.4f}")
                 # interval check is host-side; the device sync for the step
                 # tag only happens on the (rare) logging iterations
                 if log_images and (n - 1) % img_every == 0:

@@ -167,3 +167,21 @@ def test_h2o_epoch_varies_augmentation(h2o_tree):
         not np.array_equal(a0["input"], ds.__getitem__(0, epoch=e)["input"])
         for e in range(1, 6))
     assert diff, "augmentation identical across epochs 1..5"
+
+
+def test_split_slicing_rules():
+    """Per-dataset split slicing (reference joint_dataset.py:86-127)."""
+    from pdfnet_tpu.data.h2o import H2ODataset
+
+    recs = [{"i": i} for i in range(8000)]
+    s = H2ODataset._slice_split
+    assert len(s(recs, "FreiHAND", "val")) == 6000
+    assert s(recs, "FreiHAND", "train") == recs
+    assert len(s(recs, "HO3D", "train")) == 2000          # [3000:-3000]
+    assert s(recs, "HO3D", "test") == recs
+    assert len(s(recs, "HO3D", "val")) == 6000
+    assert len(s(recs, "OneHand10K", "test")) == 2000
+    assert len(s(recs, "OneHand10K", "train")) == 6000
+    assert len(s(recs, "H2O", "test")) == 100
+    assert s(recs, "H2O", "train") == recs
+    assert s(recs, "RHD", "train") == recs
