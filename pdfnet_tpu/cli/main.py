@@ -20,6 +20,10 @@ import time
 def build_argparser() -> argparse.ArgumentParser:
     ap = argparse.ArgumentParser()
     ap.add_argument("--task", default="interact")
+    ap.add_argument("--arch", default="resnet50",
+                    choices=["resnet50", "csp_50", "csp_18"],
+                    help="resnet50 = flagship HandNet; csp_* = the legacy "
+                         "MANO-theta regression detector (train-only)")
     ap.add_argument("--mode", default="train", choices=["train", "val", "test"])
     ap.add_argument("--dataset", default="H2O")
     ap.add_argument("--exp_id", default="default")
@@ -75,7 +79,7 @@ def main(argv=None):
     from pdfnet_tpu.train.trainer import Trainer, Logger, fit
 
     cfg = Config(
-        task=args.task, mode=args.mode, dataset=args.dataset,
+        task=args.task, arch=args.arch, mode=args.mode, dataset=args.dataset,
         exp_id=args.exp_id, batch_size=args.batch_size,
         default_resolution=args.default_resolution, lr=args.lr,
         lr_step=tuple(int(s) for s in args.lr_step.split(",")),

@@ -76,6 +76,10 @@ class Config:
     profile_dir: str = ""
     profile_start_step: int = 10
     profile_num_steps: int = 5
+    # block inside the profiler's step window so step/data meters attribute
+    # device time correctly (serializes async dispatch; implied by
+    # profile_dir)
+    profile_sync: bool = False
 
     # ---- pointnet ---------------------------------------------------------
     sample_num: int = 1024            # SAMPLE_NUM

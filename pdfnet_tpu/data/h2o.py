@@ -82,9 +82,12 @@ class H2ODataset:
     @staticmethod
     def _slice_split(records: List[Dict], name: str, split: str) -> List[Dict]:
         """Per-dataset split slicing (joint_dataset.py:86-127 prepare_data):
-        FreiHAND/HO3D hold out the first+last 3000 records for val,
-        OneHand10K the first+last 1000 for test, H2O tests on the first
-        100; everything else passes through."""
+        FreiHAND/HO3D slice the first+last 3000 records for val, OneHand10K
+        the first+last 1000 for test, H2O tests on the first 100; everything
+        else passes through.  Note the asymmetry is the reference's own:
+        HO3D excludes the val slice from train ([3000:-3000]) but FreiHAND
+        trains on all records including the val slice
+        (joint_dataset.py:90-97)."""
         if name == "FreiHAND":
             if split == "val":
                 return records[:3000] + records[-3000:]

@@ -148,25 +148,13 @@ class CSPNet(nn.Module):
             y = ConvBNBlock(128, dtype=self.dtype, name="reduce1")(y, train)
             y = ConvBNBlock(64, kernel=1, use_relu=False, dtype=self.dtype,
                             name="reduce2")(y, train)
-            y = nn.max_pool(y, (3, 3), strides=(2, 2),
-                            padding=[(1, 1), (1, 1)])
             # trunk stages only (the 7x7 stem is replaced by the uv branch,
-            # resnet_csp.py:456-462)
-            from pdfnet_tpu.models.resnet import BasicBlock, Bottleneck
-            basic = "50" not in self.arch
-            stage_sizes = (2, 2, 2, 2) if basic else (3, 4, 6, 3)
-            blk = BasicBlock if basic else Bottleneck
-            outs = []
-            for i, (n_blocks, w) in enumerate(
-                    zip(stage_sizes, (64, 128, 256, 512))):
-                for b in range(n_blocks):
-                    stride = 2 if (b == 0 and i > 0) else 1
-                    project = (b == 0) if not basic else (b == 0 and i > 0)
-                    y = blk(width=w, stride=stride, project=project,
-                            dtype=self.dtype,
-                            name=f"trunk_layer{i + 1}_{b}")(y, train)
-                outs.append(y)
-            x1, x2, x3, x4 = outs
+            # resnet_csp.py:456-462); ResNet(skip_stem) does maxpool+stages
+            _, x1, x2, x3, x4 = ResNet(
+                stage_sizes=(3, 4, 6, 3) if "50" in self.arch else
+                (2, 2, 2, 2),
+                block="bottleneck" if "50" in self.arch else "basic",
+                skip_stem=True, dtype=self.dtype, name="trunk")(y, train)
         else:
             _, x1, x2, x3, x4 = ResNet(
                 stage_sizes=(3, 4, 6, 3) if "50" in self.arch else

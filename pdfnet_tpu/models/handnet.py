@@ -98,6 +98,11 @@ class HandNet(nn.Module):
 
 
 def build_model(cfg: Config) -> HandNet:
+    if cfg.arch.startswith("csp"):
+        raise ValueError(
+            f"arch={cfg.arch!r} is the CSP alternate detector — use "
+            "models.build_csp_model (the Trainer dispatches on arch "
+            "automatically)")
     return HandNet(cfg=cfg)
 
 

@@ -69,19 +69,31 @@ class BasicBlock(nn.Module):
 
 
 class ResNet(nn.Module):
-    """ResNet-v1; bottleneck (50/101/152) or basic (18/34) blocks."""
+    """ResNet-v1; bottleneck (50/101/152) or basic (18/34) blocks.
+
+    ``skip_stem=True`` treats the input as an already-stem-shaped feature
+    (64ch at /2) and runs only maxpool + the four stages — used by the CSP
+    uv-prior branch, which replaces the 7x7 stem with its own fusion
+    (resnet_csp.py:456-462).
+    """
 
     stage_sizes: Sequence[int] = (3, 4, 6, 3)
     block: str = "bottleneck"         # bottleneck | basic
+    skip_stem: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool) -> Tuple[jax.Array, ...]:
-        stem = nn.Conv(64, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)],
-                       use_bias=False, dtype=self.dtype, name="conv1")(x)
-        stem = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                            epsilon=1e-5, dtype=jnp.float32, name="bn1")(stem)
-        stem = nn.relu(stem)                                  # (B, H/2, W/2, 64)
+        if self.skip_stem:
+            stem = x
+        else:
+            stem = nn.Conv(64, (7, 7), strides=(2, 2),
+                           padding=[(3, 3), (3, 3)], use_bias=False,
+                           dtype=self.dtype, name="conv1")(x)
+            stem = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                                epsilon=1e-5, dtype=jnp.float32,
+                                name="bn1")(stem)
+            stem = nn.relu(stem)                          # (B, H/2, W/2, 64)
 
         y = nn.max_pool(stem, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
         outs = []

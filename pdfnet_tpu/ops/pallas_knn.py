@@ -38,6 +38,9 @@ def _select_loop(d, k, n_points, emit):
     """k iterative masked-argmin passes over d (TILE_S, N).
 
     ``emit(j, arg, min_dist, sel_mask)`` stores iteration j's outputs.
+    (A fused ``jnp.argmin`` reduce was tried here: it exceeds Mosaic's 16MB
+    scoped-VMEM stack at k=64/N=1024, so the explicit min/compare/index-min
+    sequence stays.)
     """
     col = jax.lax.broadcasted_iota(jnp.int32, d.shape, 1)
     dcur = d

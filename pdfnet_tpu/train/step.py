@@ -106,3 +106,49 @@ def make_eval_step(cfg: Config, model: HandNet, consts: LossConsts):
 def make_infer_step(cfg: Config, model: HandNet, consts: LossConsts):
     """Inference on RGB + cloud inputs: returns eval tensors without GT."""
     return make_eval_step(cfg, model, consts)
+
+
+def create_csp_train_state(cfg: Config, model, rng: jax.Array,
+                           sample_batch: Dict[str, Any]) -> TrainState:
+    """Init state for the CSP alternate detector (img + depth inputs)."""
+    variables = model.init({"params": rng}, sample_batch["input"],
+                           sample_batch["depth"], True)
+    tx = make_optimizer(cfg)
+    return TrainState(
+        params=variables["params"],
+        batch_stats=variables.get("batch_stats", {}),
+        opt_state=tx.init(variables["params"]),
+        step=jnp.zeros((), jnp.int32),
+    )
+
+
+def make_csp_train_step(cfg: Config, model, consts, donate: bool = True):
+    """Jitted train step for the CSP path: forward + csp_loss (center focal
+    + iterative MANO-theta regression terms) + backward + Adam + BN."""
+    from pdfnet_tpu.train.mano_branch import csp_loss
+
+    tx = make_optimizer(cfg)
+
+    def train_step(state: TrainState, batch: Dict[str, jax.Array],
+                   epoch: jax.Array, lr: jax.Array, rng: jax.Array):
+        del epoch, rng                   # no epoch gates / dropout on csp
+
+        def loss_fn(params):
+            variables = {"params": params, "batch_stats": state.batch_stats}
+            ret, mutated = model.apply(variables, batch["input"],
+                                       batch["depth"], True,
+                                       mutable=["batch_stats"])
+            loss, stats = csp_loss(cfg, consts, ret, batch)
+            return loss, (stats, mutated["batch_stats"])
+
+        grads, (stats, new_bs) = jax.grad(loss_fn, has_aux=True)(state.params)
+        opt_state = state.opt_state
+        opt_state.hyperparams["learning_rate"] = lr
+        updates, new_opt = tx.update(grads, opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(params=new_params, batch_stats=new_bs,
+                               opt_state=new_opt, step=state.step + 1)
+        return new_state, stats
+
+    donate_argnums = (0,) if donate else ()
+    return jax.jit(train_step, donate_argnums=donate_argnums)

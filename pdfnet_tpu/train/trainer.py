@@ -62,12 +62,24 @@ class Trainer:
     def __init__(self, cfg: Config, model: Optional[HandNet] = None,
                  mesh=None):
         self.cfg = cfg
-        self.model = model or build_model(cfg)
-        self.consts = load_loss_consts()
+        self.is_csp = cfg.arch.startswith("csp")
         self.mesh = mesh if mesh is not None else mesh_lib.make_mesh(
             cfg.num_devices, cfg.data_axis)
-        self.train_step = make_train_step(cfg, self.model, self.consts)
-        self.eval_step = make_eval_step(cfg, self.model, self.consts)
+        if self.is_csp:
+            from pdfnet_tpu.models.csp import build_csp_model
+            from pdfnet_tpu.train.mano_branch import load_mano_branch_consts
+            from pdfnet_tpu.train.step import (create_csp_train_state,
+                                               make_csp_train_step)
+            self.model = model or build_csp_model(cfg)
+            self.consts = load_mano_branch_consts()
+            self.train_step = make_csp_train_step(cfg, self.model,
+                                                  self.consts)
+            self.eval_step = None
+        else:
+            self.model = model or build_model(cfg)
+            self.consts = load_loss_consts()
+            self.train_step = make_train_step(cfg, self.model, self.consts)
+            self.eval_step = make_eval_step(cfg, self.model, self.consts)
         self.state: Optional[TrainState] = None
         from pdfnet_tpu.utils.profiler import StepProfiler
         self.profiler = StepProfiler(cfg.profile_dir, cfg.profile_start_step,
@@ -78,8 +90,13 @@ class Trainer:
         batch = {k: jnp.asarray(v) for k, v in sample_batch.items()
                  if k in ("input", "choose", "cloud", "depth", "ind", "K_new",
                           "valid")}
-        self.state = create_train_state(self.cfg, self.model,
-                                        jax.random.PRNGKey(seed), batch)
+        if self.is_csp:
+            from pdfnet_tpu.train.step import create_csp_train_state
+            self.state = create_csp_train_state(
+                self.cfg, self.model, jax.random.PRNGKey(seed), batch)
+        else:
+            self.state = create_train_state(self.cfg, self.model,
+                                            jax.random.PRNGKey(seed), batch)
         self.state = mesh_lib.replicate(self.state, self.mesh)
         return self.state
 
@@ -94,6 +111,8 @@ class Trainer:
         # the end of the epoch.
         running = None
         n = 0
+        self.profiler.reset_epoch()
+        sync_steps = self.cfg.profile_sync or bool(self.cfg.profile_dir)
         img_every = self.cfg.image_summary_every
         log_images = (logger is not None and img_every > 0 and
                       (self.cfg.photometric_loss or self.cfg.image_summary))
@@ -108,6 +127,8 @@ class Trainer:
                 with self.profiler.step():
                     self.state, stats = self.train_step(self.state, batch,
                                                         ep, lr, rng)
+                    if sync_steps:
+                        jax.block_until_ready(stats)
                 n += 1
                 running = (stats if running is None else
                            jax.tree.map(jnp.add, running, stats))
@@ -146,7 +167,7 @@ class Trainer:
         """Render an ``input | pred | gt`` grid for the first samples of a
         host batch (reference base_trainer.py:174-190 image_summary).
         Returns a uint8 BGR image, or None if the model isn't initialized."""
-        if self.state is None:
+        if self.state is None or self.eval_step is None:
             return None
         from pdfnet_tpu import assets
         from pdfnet_tpu.render import render_two_hands
@@ -187,16 +208,26 @@ class Trainer:
     def evaluate(self, batches: Iterable[Dict[str, np.ndarray]],
                  vis_every: int = 0, vis_dir: str = "outputs/imgs",
                  ) -> MetricAccumulator:
+        if self.eval_step is None:
+            raise NotImplementedError(
+                "mesh evaluation is only defined for the flagship HandNet "
+                "arch; the CSP detector is a training-era alternate "
+                "(reference origforward path)")
         acc = MetricAccumulator()
         seen = 0
+        next_vis = 0
         for batch in batches:
             jb = {k: jnp.asarray(v) for k, v in batch.items()}
             out = self.eval_step(self.state.params, self.state.batch_stats, jb)
-            if vis_every and seen % vis_every == 0:
-                self._dump_eval_vis(jax.tree.map(np.asarray, out), batch,
-                                    seen, vis_dir)
+            host_out = jax.tree.map(np.asarray, out)
+            # threshold-crossing check: fires once per vis_every samples for
+            # any batch size (seen % vis_every misses whenever the batch
+            # size does not divide vis_every)
+            if vis_every and seen >= next_vis:
+                self._dump_eval_vis(host_out, batch, seen, vis_dir)
+                next_vis += vis_every
             seen += batch["input"].shape[0]
-            acc.update(jax.tree.map(np.asarray, out), batch)
+            acc.update(host_out, batch)
         return acc
 
     def _dump_eval_vis(self, out: Dict[str, np.ndarray],
@@ -282,7 +313,8 @@ def fit(cfg: Config, train_data, eval_data=None, log_dir: str = "outputs/logs",
         means = trainer.run_epoch(epoch, prefetch(gen, depth=2), logger)
         logger.write(f"epoch {epoch}: loss={means.get('loss', float('nan')):.3f} "
                      f"({time.time() - t0:.1f}s, lr={lr_at_epoch(cfg, epoch):.2e})")
-        if eval_data is not None and (epoch + 1) % eval_every == 0:
+        if (eval_data is not None and trainer.eval_step is not None
+                and (epoch + 1) % eval_every == 0):
             acc = trainer.evaluate(eval_data.batches(1, 0))
             block = acc.format_block(f"epoch {epoch}")
             logger.write(block)

@@ -186,7 +186,10 @@ def score_predictions(gt_xyz_list, gt_verts_list, pred_xyz_list,
     Computes raw / Procrustes-aligned / scale-translation-aligned keypoint
     errors and mesh errors (+F-scores), writes ``scores.txt`` with the same
     keys as the reference and the HTML curve report.  Inputs are sequences
-    of (21, 3) xyz and (778, 3) verts arrays in meters.
+    of (21, 3) xyz and (778, 3) verts arrays in meters.  ``scores.txt`` is
+    opened in append mode like the reference (eval.py:352), so repeated runs
+    into one output_dir accumulate blocks; use a fresh dir per run if a
+    single-block file is required.
     """
     assert len(gt_xyz_list) == len(pred_xyz_list), "Expected format mismatch."
     assert len(gt_verts_list) == len(pred_verts_list), \

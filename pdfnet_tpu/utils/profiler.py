@@ -32,6 +32,14 @@ class StepProfiler:
             with prof.step():          # wraps the device step
                 state, stats = train_step(...)
         prof.close()                   # stops a still-open trace
+
+    Attribution caveat: under JAX async dispatch, step() measures only the
+    host-side dispatch unless the caller blocks inside the window (e.g.
+    ``jax.block_until_ready(stats)``) — otherwise device time surfaces at
+    the next host sync and lands in data_time.  The trainer does this when
+    ``Config.profile_sync`` is set (also implied by an active trace window,
+    where exact step boundaries matter); with it off, the meters measure
+    pipeline gaps, which is what the async production loop cares about.
     """
 
     def __init__(self, trace_dir: str = "", start_step: int = 10,
@@ -43,6 +51,14 @@ class StepProfiler:
         self.tracing = False
         self.batch_time = AverageMeter()
         self.data_time = AverageMeter()
+        self._last = time.perf_counter()
+
+    def reset_epoch(self) -> None:
+        """Reset the wall-clock meters at an epoch boundary so compilation /
+        init time before the first step is not charged to data_time and the
+        summary reflects only the current epoch."""
+        self.batch_time.reset()
+        self.data_time.reset()
         self._last = time.perf_counter()
 
     def data_tick(self) -> None:

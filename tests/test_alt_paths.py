@@ -174,3 +174,25 @@ def test_csp_uv_prior_branch():
     assert ret["uv_prior"].shape == (1, 48, 48, 21)    # /2 grid
     assert ret["hm"].shape == (1, 24, 24, 2)           # /4 grid
     assert 0.0 < float(ret["uv_prior"].mean()) < 1.0
+
+
+def test_csp_trainer_dispatch():
+    """Trainer dispatches on arch: csp_* trains CSPNet via csp_loss."""
+    from pdfnet_tpu.models.csp import CSPNet
+    from pdfnet_tpu.parallel import mesh as mesh_lib
+    from pdfnet_tpu.train.trainer import Trainer
+
+    cfg = tiny_cfg(arch="csp_18", batch_size=2)
+    tr = Trainer(cfg, mesh=mesh_lib.make_mesh(1, cfg.data_axis))
+    assert isinstance(tr.model, CSPNet) and tr.eval_step is None
+    batch = make_batch(cfg, 2, seed=6)
+    tr.init_state(batch)
+    means = tr.run_epoch(0, [batch, batch])
+    assert np.isfinite(means["loss"]) and np.isfinite(means["hm_loss"])
+    assert int(tr.state.step) == 2
+    with pytest.raises(NotImplementedError):
+        tr.evaluate([batch])
+    # flagship factory refuses the csp arch instead of silently
+    # building HandNet
+    with pytest.raises(ValueError):
+        build_model(cfg)

@@ -87,8 +87,7 @@ def main():
                                        make_eval_step, make_train_step)
 
     cfg = Config(default_resolution=args.res, batch_size=args.batch,
-                 compute_dtype="bfloat16" if args.what == "eval" else
-                 "bfloat16")
+                 compute_dtype="bfloat16")
     model = build_model(cfg)
     consts = load_loss_consts()
 
