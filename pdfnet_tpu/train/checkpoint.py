@@ -100,3 +100,21 @@ def latest_checkpoint(ckpt_dir: str) -> Optional[str]:
         return None
     best = max(cands, key=lambda d: int(d.split("_")[-1]))
     return os.path.join(ckpt_dir, best)
+
+
+def save_subtree_checkpoint(ckpt_dir: str, state: TrainState, epoch: int,
+                            subtree: str = "decoder") -> str:
+    """Save only one top-level module's params (reference main.py:127-129
+    saves a GCN-decoder-only checkpoint with buffers stripped)."""
+    ckpt_dir = os.path.abspath(ckpt_dir)
+    os.makedirs(ckpt_dir, exist_ok=True)
+    params = state.params
+    if subtree not in params:
+        raise KeyError(f"no top-level module {subtree!r}; have "
+                       f"{sorted(params)}")
+    path = os.path.join(ckpt_dir, f"{subtree}_{epoch}")
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(path, {"params": {subtree: params[subtree]},
+                      "epoch": np.asarray(epoch)}, force=True)
+    ckptr.wait_until_finished()
+    return path

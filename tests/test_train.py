@@ -261,3 +261,23 @@ def test_eval_vis_dump(setup, tmp_path):
     lines = open(tmp_path / "lhands_0.obj").read().splitlines()
     assert sum(l.startswith("v ") for l in lines) == 778
     assert sum(l.startswith("f ") for l in lines) == 1538
+
+
+def test_subtree_checkpoint(setup, tmp_path):
+    """Decoder-only checkpoint (reference main.py:127-129) saves and merges
+    back through the tolerant restore."""
+    from pdfnet_tpu.train import checkpoint as ck
+
+    cfg, model, consts, jb, state = setup
+    top = sorted(state.params)
+    sub = "decoder" if "decoder" in top else top[0]
+    p = ck.save_subtree_checkpoint(str(tmp_path), jax.device_get(state), 3,
+                                   subtree=sub)
+    assert os.path.isdir(p)
+    # tolerant restore: the subtree loads, everything else keeps init
+    restored, epoch = ck.load_checkpoint(p, jax.device_get(state),
+                                         resume_optimizer=False)
+    assert epoch == 3
+    same = jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()),
+                        restored.params[sub], state.params[sub])
+    assert max(jax.tree.leaves(same)) == 0.0
