@@ -28,6 +28,10 @@ def build_argparser() -> argparse.ArgumentParser:
     ap.add_argument("--dataset", default="H2O")
     ap.add_argument("--exp_id", default="default")
     ap.add_argument("--batch_size", type=int, default=8)
+    ap.add_argument("--eval_batch_size", type=int, default=1,
+                    help="eval loader batch (reference always uses 1; "
+                         "larger batches the eval forward for a big "
+                         "speedup; the H2O submission path needs 1)")
     ap.add_argument("--default_resolution", type=int, default=384)
     ap.add_argument("--lr", type=float, default=1e-4)
     ap.add_argument("--lr_step", default="30")
@@ -81,6 +85,7 @@ def main(argv=None):
     cfg = Config(
         task=args.task, arch=args.arch, mode=args.mode, dataset=args.dataset,
         exp_id=args.exp_id, batch_size=args.batch_size,
+        eval_batch_size=args.eval_batch_size,
         default_resolution=args.default_resolution, lr=args.lr,
         lr_step=tuple(int(s) for s in args.lr_step.split(",")),
         num_epochs=args.num_epochs, start_epoch=args.start_epoch,
@@ -120,8 +125,11 @@ def main(argv=None):
         trainer.init_state(first)
         if cfg.load_model:
             trainer.load(cfg.load_model, resume_optimizer=False)
+        # the H2O challenge submission needs every frame: force bs=1 there
+        # (the reference also only writes it at bs=1, base_trainer.py:486)
+        eb = 1 if args.mode == "test" else cfg.eval_batch_size
         acc = trainer.evaluate(
-            eval_data.batches(1, 0), vis_every=args.vis_every,
+            eval_data.batches(eb, 0), vis_every=args.vis_every,
             vis_dir=os.path.join(cfg.output_path, "imgs"))
         block = acc.format_block(cfg.exp_id)
         print(block)

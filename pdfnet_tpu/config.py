@@ -61,6 +61,10 @@ class Config:
     lr_step: Tuple[int, ...] = (30,)
     num_epochs: int = 80
     batch_size: int = 8
+    # eval loader batch; the reference always evals at 1 (main.py:90) — a
+    # larger value batches the eval forward (big speedup; the loader drops a
+    # sub-batch tail, and the H2O submission needs 1)
+    eval_batch_size: int = 1
     num_workers: int = 8
     start_epoch: int = 0
     optimizer: str = "Adam"

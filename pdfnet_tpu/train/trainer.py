@@ -315,7 +315,7 @@ def fit(cfg: Config, train_data, eval_data=None, log_dir: str = "outputs/logs",
                      f"({time.time() - t0:.1f}s, lr={lr_at_epoch(cfg, epoch):.2e})")
         if (eval_data is not None and trainer.eval_step is not None
                 and (epoch + 1) % eval_every == 0):
-            acc = trainer.evaluate(eval_data.batches(1, 0))
+            acc = trainer.evaluate(eval_data.batches(cfg.eval_batch_size, 0))
             block = acc.format_block(f"epoch {epoch}")
             logger.write(block)
             with open(os.path.join(log_dir, f"{cfg.dataset}-val.txt"), "a") as f:
