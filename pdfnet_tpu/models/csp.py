@@ -30,7 +30,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from pdfnet_tpu.models.layers import L2Norm, StridedUpConv
+from pdfnet_tpu.models.layers import CenterHead, L2Norm, StridedUpConv
 from pdfnet_tpu.models.resnet import ResNet
 from pdfnet_tpu.ops.heatmap import clamped_sigmoid
 
@@ -91,24 +91,6 @@ class UVDecoder(nn.Module):
         return clamped_sigmoid(uv)
 
 
-class CSPHead(nn.Module):
-    """3x3 conv(+extra input ch) + ReLU + 1x1 out (resnet_csp.py:326-344)."""
-
-    out_dim: int
-    mid_dim: int = 256
-    bias_init_value: float = 0.0
-    dtype: Dtype = jnp.float32
-
-    @nn.compact
-    def __call__(self, x):
-        y = nn.Conv(self.mid_dim, (3, 3), padding=[(1, 1)] * 2,
-                    dtype=self.dtype, name="conv0")(x)
-        y = nn.relu(y)
-        return nn.Conv(self.out_dim, (1, 1), dtype=self.dtype,
-                       bias_init=nn.initializers.constant(
-                           self.bias_init_value), name="conv1")(y)
-
-
 class CSPNet(nn.Module):
     """The alternate RGBD CenterNet + iterative MANO-theta regressor."""
 
@@ -129,6 +111,10 @@ class CSPNet(nn.Module):
             if depth.ndim == 3:
                 depth = depth[..., None]
             x = jnp.concatenate([x, depth], axis=-1)
+
+        basic = "50" not in self.arch
+        stage_sizes = (2, 2, 2, 2) if basic else (3, 4, 6, 3)
+        block = "basic" if basic else "bottleneck"
 
         ret: Dict[str, Any] = {}
         if self.use_heatmaps:
@@ -151,15 +137,11 @@ class CSPNet(nn.Module):
             # trunk stages only (the 7x7 stem is replaced by the uv branch,
             # resnet_csp.py:456-462); ResNet(skip_stem) does maxpool+stages
             _, x1, x2, x3, x4 = ResNet(
-                stage_sizes=(3, 4, 6, 3) if "50" in self.arch else
-                (2, 2, 2, 2),
-                block="bottleneck" if "50" in self.arch else "basic",
-                skip_stem=True, dtype=self.dtype, name="trunk")(y, train)
+                stage_sizes=stage_sizes, block=block, skip_stem=True,
+                dtype=self.dtype, name="trunk")(y, train)
         else:
             _, x1, x2, x3, x4 = ResNet(
-                stage_sizes=(3, 4, 6, 3) if "50" in self.arch else
-                (2, 2, 2, 2),
-                block="bottleneck" if "50" in self.arch else "basic",
+                stage_sizes=stage_sizes, block=block,
                 dtype=self.dtype, name="trunk")(x, train)
 
         # FPN to /4 (96x96 for 384 input; p3 k4s2 doubles the /8 stage),
@@ -186,7 +168,8 @@ class CSPNet(nn.Module):
                 # (resnet_csp.py:509-521 mean_theta buffer is never written)
                 B, H, W, _ = feat.shape
                 theta = jnp.zeros((B, H, W, out_dim), feat.dtype)
-                mod = CSPHead(out_dim, dtype=self.dtype, name="head_params")
+                mod = CenterHead(out_dim, dtype=self.dtype,
+                                 name="head_params")
                 thetas = []
                 for _ in range(self.iterations):
                     theta = theta + mod(
@@ -195,16 +178,15 @@ class CSPNet(nn.Module):
                 ret[head] = thetas
                 continue
             bias = -4.59 if is_hm(head) else 0.0
-            ret[head] = CSPHead(out_dim, bias_init_value=bias,
-                                dtype=self.dtype,
-                                name=f"head_{head}")(feat)
+            ret[head] = CenterHead(out_dim, bias_init_value=bias,
+                                   dtype=self.dtype,
+                                   name=f"head_{head}")(feat)
         return ret
 
 
 def build_csp_model(cfg) -> CSPNet:
     """Factory mirroring get_pose_net (resnet_csp.py:567-572)."""
-    import jax.numpy as jnp_
-    dtype = {"float32": jnp_.float32, "bfloat16": jnp_.bfloat16}[
+    dtype = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[
         cfg.compute_dtype]
     return CSPNet(heads=dict(cfg.heads), arch=cfg.arch,
                   use_depth=True, use_heatmaps=cfg.use_uv_prior,

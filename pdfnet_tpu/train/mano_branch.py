@@ -22,7 +22,10 @@ from pdfnet_tpu.config import Config
 from pdfnet_tpu.mano import layer as mano
 from pdfnet_tpu.ops.gather import gather_pixels
 from pdfnet_tpu.ops.geometry import perspective_project
-from pdfnet_tpu.train.loss import bone_direction_loss, l1_per_sample, mse_per_sample
+from pdfnet_tpu.ops.heatmap import clamped_sigmoid
+from pdfnet_tpu.train.loss import (bone_direction_loss, focal_loss,
+                                   l1_per_sample, mse_per_sample,
+                                   reg_l1_loss)
 from pdfnet_tpu.train.priors import pose_shape_prior_loss
 
 
@@ -148,9 +151,6 @@ def csp_loss(
     (reference origforward, simplified.py:657-760; hm/wh handling
     :695-717).  The CSP head grid is /4 (like the flagship model), so the
     default ``Config(down_ratio=4)`` dataset targets match directly."""
-    from pdfnet_tpu.ops.heatmap import clamped_sigmoid
-    from pdfnet_tpu.train.loss import focal_loss, reg_l1_loss
-
     losses = {}
     hm = clamped_sigmoid(ret["hm"])
     hm_loss = focal_loss(hm, batch["hm"]).mean()   # focal is per-sample (B,)

@@ -68,8 +68,7 @@ class Trainer:
         if self.is_csp:
             from pdfnet_tpu.models.csp import build_csp_model
             from pdfnet_tpu.train.mano_branch import load_mano_branch_consts
-            from pdfnet_tpu.train.step import (create_csp_train_state,
-                                               make_csp_train_step)
+            from pdfnet_tpu.train.step import make_csp_train_step
             self.model = model or build_csp_model(cfg)
             self.consts = load_mano_branch_consts()
             self.train_step = make_csp_train_step(cfg, self.model,
@@ -171,6 +170,7 @@ class Trainer:
             return None
         from pdfnet_tpu import assets
         from pdfnet_tpu.render import render_two_hands
+        from pdfnet_tpu.utils.vis import denormalize_image
 
         cfg = self.cfg
         n = min(max_imgs, batch["input"].shape[0])
@@ -178,8 +178,6 @@ class Trainer:
         out = self.eval_step(self.state.params, self.state.batch_stats, small)
         out = jax.tree.map(np.asarray, out)
 
-        mean = np.asarray(cfg.mean, np.float32)
-        std = np.asarray(cfg.std, np.float32)
         faces_l = assets.load_mano("left").faces
         faces_r = assets.load_mano("right").faces
         has_gt = "verts_gt" in out
@@ -187,8 +185,7 @@ class Trainer:
 
         rows = []
         for i in range(n):
-            img = np.clip((batch["input"][i] * std + mean) * 255, 0, 255)
-            img = img.astype(np.uint8)[..., ::-1]  # RGB -> BGR for cv2
+            img = denormalize_image(batch["input"][i], cfg.mean, cfg.std)
             panels = [img]
             sets = [out["verts_pred"][i]]
             if has_gt:
@@ -237,15 +234,13 @@ class Trainer:
         545-596, every 500 samples): projected-vertex overlay, predicted
         skeleton, and pred/GT .obj mesh dumps for the first batch sample."""
         from pdfnet_tpu import assets
-        from pdfnet_tpu.utils.vis import (draw_hand_skeleton, draw_landmarks,
+        from pdfnet_tpu.utils.vis import (denormalize_image,
+                                          draw_hand_skeleton, draw_landmarks,
                                           write_obj)
 
         os.makedirs(vis_dir, exist_ok=True)
         cfg = self.cfg
-        mean = np.asarray(cfg.mean, np.float32)
-        std = np.asarray(cfg.std, np.float32)
-        img = np.clip((np.asarray(batch["input"][0]) * std + mean) * 255,
-                      0, 255).astype(np.uint8)[..., ::-1]
+        img = denormalize_image(batch["input"][0], cfg.mean, cfg.std)
 
         K = np.asarray(batch["K_new"][0])
         verts = out["verts_pred"][0]                     # (2, 778, 3) abs

@@ -10,7 +10,7 @@ from __future__ import annotations
 
 import json
 import os
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -115,7 +115,7 @@ def _svg_curve(c: Curve, width: int = 576, height: int = 432) -> str:
     x, y = x[ok], y[ok]
     if x.size == 0:
         return f"<svg width='{width}' height='{height}'></svg>"
-    x0, x1 = float(x.min()), float(x.max()) or 1.0
+    x0, x1 = float(x.min()), float(x.max())
     y0, y1 = 0.0, max(1.0, float(y.max()))
     sx = lambda v: m + (v - x0) / max(x1 - x0, 1e-12) * (width - 2 * m)
     sy = lambda v: height - m - (v - y0) / max(y1 - y0, 1e-12) * (height - 2 * m)

@@ -73,6 +73,13 @@ def draw_landmarks(img: np.ndarray, lms: np.ndarray,
     return img
 
 
+def denormalize_image(inp: np.ndarray, mean, std) -> np.ndarray:
+    """Undo dataset normalization: (H, W, 3) float RGB -> uint8 BGR."""
+    img = np.clip((np.asarray(inp) * np.asarray(std) + np.asarray(mean))
+                  * 255, 0, 255)
+    return img.astype(np.uint8)[..., ::-1]
+
+
 def write_obj(path: str, verts: np.ndarray, faces: np.ndarray) -> None:
     """Dump a mesh as Wavefront .obj (reference simplified.py:296-330
     pred/GT hand dumps; faces are 0-based, .obj is 1-based)."""

@@ -73,7 +73,6 @@ def test_2d_mesh_train_step_matches_dp():
     """One full training step on a (4 x 2) data x model mesh: tensor-parallel
     param placement compiles under GSPMD and reproduces the 1-D data-parallel
     loss."""
-    import __graft_entry__ as ge
     import jax.numpy as jnp
     from pdfnet_tpu.config import Config
     from pdfnet_tpu.data.synthetic import make_batch
