@@ -64,6 +64,10 @@ def make_mesh_2d(data: int, model: int, data_axis: str = "data",
     collectives ride the fastest ICI links."""
     if devices is None:
         devices = jax.devices()
+    if len(devices) < data * model:
+        raise ValueError(
+            f"make_mesh_2d({data}, {model}) needs {data * model} devices, "
+            f"have {len(devices)}")
     devices = np.asarray(devices[:data * model]).reshape(data, model)
     return Mesh(devices, (data_axis, model_axis))
 
