@@ -185,3 +185,92 @@ def test_split_slicing_rules():
     assert len(s(recs, "H2O", "test")) == 100
     assert s(recs, "H2O", "train") == recs
     assert s(recs, "RHD", "train") == recs
+
+
+@pytest.fixture(scope="module")
+def h2o3d_tree(tmp_path_factory):
+    """Miniature H2O3D-format tree: 'color' image naming (-> color->mask
+    path resolution), 16-bit depth, label-id masks (non-H2O branch)."""
+    root = tmp_path_factory.mktemp("h2o3d")
+    img_dir = root / "H2O3D" / "seq0" / "color"
+    depth_dir = root / "H2O3D" / "seq0" / "depth"
+    mask_dir = root / "H2O3D" / "seq0" / "mask"
+    for d in (img_dir, depth_dir, mask_dir):
+        os.makedirs(d)
+
+    H, W = 480, 640
+    K = np.array([[520.0, 0, 320], [0, 520.0, 240], [0, 0, 1]], np.float32)
+    records = []
+    rng = np.random.RandomState(1)
+    for i in range(2):
+        coeff = np.zeros(124, np.float32)
+        joints_all, lms_all = [], []
+        img = np.full((H, W, 3), 60, np.uint8)
+        depth_mm = np.zeros((H, W), np.uint16)
+        mask = np.zeros((H, W, 3), np.uint8)
+        for h, (side, xo) in enumerate((("left", -0.09), ("right", 0.06))):
+            o = 62 * h
+            coeff[o] = 1.0
+            coeff[o + 1:o + 4] = [xo, 0.0, 0.55]
+            coeff[o + 4:o + 7] = rng.uniform(-0.3, 0.3, 3)
+            coeff[o + 7:o + 52] = rng.uniform(-0.2, 0.2, 45)
+            coeff[o + 52:o + 62] = rng.uniform(-0.5, 0.5, 10)
+            c = mano.load_mano_consts(side)
+            v, j = mano.mano_forward(
+                c, coeff[None, o + 4:o + 7], coeff[None, o + 7:o + 52],
+                coeff[None, o + 52:o + 62], trans=coeff[None, o + 1:o + 4])
+            v, j = np.asarray(v[0]), np.asarray(j[0])
+            joints_all.append(j)
+            pj = j @ K.T
+            lms_all.append(pj[:, :2] / pj[:, 2:])
+            pv = v @ K.T
+            uv = (pv[:, :2] / pv[:, 2:]).astype(int)
+            okm = (uv[:, 0] >= 2) & (uv[:, 0] < W - 2) & \
+                  (uv[:, 1] >= 2) & (uv[:, 1] < H - 2)
+            for (x, y), z in zip(uv[okm], v[okm, 2]):
+                depth_mm[y - 2:y + 3, x - 2:x + 3] = int(z * 1000)
+                # label-id mask on channel 0: 2-17 left, >=18 right
+                mask[y - 2:y + 3, x - 2:x + 3, 0] = \
+                    5 if side == "left" else 20
+                img[y - 2:y + 3, x - 2:x + 3] = (180, 140, 120)
+        cv2.imwrite(str(img_dir / f"{i:06d}.png"), img)
+        cv2.imwrite(str(depth_dir / f"{i:06d}.png"), depth_mm)
+        cv2.imwrite(str(mask_dir / f"{i:06d}.png"), mask)
+        records.append({
+            "imgpath": f"seq0/color/{i:06d}.png",
+            "depthpath": f"seq0/depth/{i:06d}.png",
+            "mano_coeff": coeff,
+            "lms": np.concatenate(lms_all).astype(np.float32),
+            "joints": np.concatenate(joints_all).astype(np.float32),
+            "K": K,
+        })
+    with open(root / "H2O3D_test.pkl", "wb") as f:
+        pickle.dump(records, f)
+    return str(root)
+
+
+def test_h2o3d_branch(h2o3d_tree):
+    """H2O3D flows through the non-H2O branches: color->mask path, label-id
+    mask decoding, MANO GT synthesis, full sample structure."""
+    from pdfnet_tpu.data.h2o import H2ODataset
+    cfg = Config(cache_path=h2o3d_tree, pre_fix=h2o3d_tree,
+                 dataset="H2O3D", sample_num=256)
+    ds = H2ODataset(cfg, "test")
+    assert len(ds) == 2
+    s = ds[0]
+    res = cfg.default_resolution
+    assert s["input"].shape == (res, res, 3)
+    assert s["verts_left_gt"].shape == (778, 3)
+    # label-id mask decoded into per-hand binaries
+    assert s["mask_left_gt"].sum() > 0 and s["mask_right_gt"].sum() > 0
+    assert set(np.unique(s["mask_left_gt"])) <= {0.0, 1.0}
+    # both hands valid with sampled clouds in the depth band
+    assert s["valid"].tolist() == [1, 1]
+    for h in range(2):
+        z = s["cloud"][h][:, 2]
+        assert 0.4 < z[z > 0].mean() < 0.7
+    # projected GT joints == landmarks after warps
+    j = s["joints_left_gt"]
+    pj = j @ s["K_new"].T
+    np.testing.assert_allclose(pj[:, :2] / pj[:, 2:], s["lms_left_gt"],
+                               atol=0.5)
