@@ -14,6 +14,7 @@ synthesized on the fly with the JAX MANO layer on CPU.
 
 from __future__ import annotations
 
+import functools
 import os
 import pickle
 from typing import Dict, List, Optional
@@ -35,19 +36,39 @@ def _mano_consts(side: str):
     return mano.load_mano_consts(side)
 
 
-def mano_gt_from_coeff(coeff: np.ndarray, side: str):
-    """(62,) per-hand coeff [valid, trans3, orient3, pose45, shape10] ->
-    (verts 778x3, joints 21x3) in camera space."""
+@functools.lru_cache(maxsize=2)
+def _jitted_mano_forward(side: str):
+    """One jitted CPU MANO forward per hand side.
+
+    The GT synthesis runs per sample inside the input pipeline; eager
+    (op-by-op) execution costs ~90 ms/call in Python dispatch alone, the
+    compiled version ~1 ms.  Consts are closed over (compile-time
+    constants; local CPU compile, so payload size is irrelevant)."""
     import jax
 
     c = _mano_consts(side)
-    with jax.default_device(jax.devices("cpu")[0]):
-        v, j = mano.mano_forward(
-            c,
-            coeff[None, 4:7].astype(np.float32),
-            coeff[None, 7:52].astype(np.float32),
-            coeff[None, 52:62].astype(np.float32),
-            trans=coeff[None, 1:4].astype(np.float32))
+
+    def fwd(orient, pose, shape, trans):
+        return mano.mano_forward(c, orient, pose, shape, trans=trans)
+
+    cpu = jax.devices("cpu")[0]
+
+    def call(orient, pose, shape, trans):
+        with jax.default_device(cpu):
+            return _compiled(orient, pose, shape, trans)
+
+    _compiled = jax.jit(fwd)
+    return call
+
+
+def mano_gt_from_coeff(coeff: np.ndarray, side: str):
+    """(62,) per-hand coeff [valid, trans3, orient3, pose45, shape10] ->
+    (verts 778x3, joints 21x3) in camera space."""
+    v, j = _jitted_mano_forward(side)(
+        coeff[None, 4:7].astype(np.float32),
+        coeff[None, 7:52].astype(np.float32),
+        coeff[None, 52:62].astype(np.float32),
+        coeff[None, 1:4].astype(np.float32))
     # writable host copies (np.asarray over jax buffers is read-only)
     return np.array(v[0]), np.array(j[0])
 

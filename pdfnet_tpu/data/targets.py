@@ -6,6 +6,7 @@ target assembly (lib/datasets/interhand.py:917-963).
 
 from __future__ import annotations
 
+import functools
 from typing import Dict, Optional, Tuple
 
 import numpy as np
@@ -29,6 +30,13 @@ def gaussian_radius(det_size: Tuple[float, float], min_overlap: float = 0.7) -> 
 
 
 def gaussian2d(shape: Tuple[int, int], sigma: float = 1.0) -> np.ndarray:
+    return _gaussian2d_cached(shape, sigma)
+
+
+@functools.lru_cache(maxsize=64)
+def _gaussian2d_cached(shape: Tuple[int, int], sigma: float) -> np.ndarray:
+    # cached: all 21 keypoints of a hand share one radius, and radii repeat
+    # across samples.  Treat the result as read-only.
     m, n = [(s - 1.0) / 2.0 for s in shape]
     y, x = np.ogrid[-m:m + 1, -n:n + 1]
     h = np.exp(-(x * x + y * y) / (2 * sigma * sigma))
@@ -71,8 +79,11 @@ def centernet_targets(
     lms_*: (21, 2) pixel landmarks at full resolution or None.
     """
     hw = resolution // down
-    hm = np.zeros((hw, hw, num_classes), np.float32)
-    hm_lms = np.zeros((hw, hw, 42), np.float32)
+    # channel-first while drawing: each [c] plane is C-contiguous, which the
+    # native splat kernel requires (an HWC channel slice is strided and
+    # would silently fall back to the numpy path for all 44 draws)
+    hm = np.zeros((num_classes, hw, hw), np.float32)
+    hm_lms = np.zeros((42, hw, hw), np.float32)
     wh = np.zeros((2, 2), np.float32)
     off_hm = np.zeros((2, 2), np.float32)
     off_lms = np.zeros((2, 42), np.float32)
@@ -90,16 +101,17 @@ def centernet_targets(
         ct_int = (ct / down).astype(np.int32)
         lms_down = lms / down
         for kk in range(21):
-            draw_gaussian(hm_lms[:, :, hand * 21 + kk],
+            draw_gaussian(hm_lms[hand * 21 + kk],
                           lms_down[kk].astype(np.int32), radius)
             off_lms[hand, kk * 2:kk * 2 + 2] = lms_down[kk] - ct_int
-        draw_gaussian(hm[:, :, hand], ct_int, radius)
+        draw_gaussian(hm[hand], ct_int, radius)
         wh[hand] = (w, h)
         ind[hand] = ct_int[1] * hw + ct_int[0]
         off_hm[hand] = ct / down - ct_int
         reg_mask[hand] = 1
 
     ind = np.where((ind < 0) | (ind >= hw * hw), 0, ind)
-    return {"hm": hm, "hms": hm_lms, "wh": wh, "ind": ind,
+    return {"hm": hm.transpose(1, 2, 0), "hms": hm_lms.transpose(1, 2, 0),
+            "wh": wh, "ind": ind,
             "off_hm": off_hm, "off_lms": off_lms,
             "valid": reg_mask.astype(np.float32)}
