@@ -84,6 +84,10 @@ class Config:
     # device time correctly (serializes async dispatch; implied by
     # profile_dir)
     profile_sync: bool = False
+    # skip parameter/optimizer/BN updates when the loss is non-finite —
+    # evaluated inside the compiled step (no host sync; the reference has
+    # no guard and a NaN batch poisons the run)
+    skip_nonfinite_updates: bool = False
 
     # ---- pointnet ---------------------------------------------------------
     sample_num: int = 1024            # SAMPLE_NUM

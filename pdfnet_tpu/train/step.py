@@ -82,6 +82,18 @@ def make_train_step(cfg: Config, model: HandNet, consts: LossConsts,
         opt_state.hyperparams["learning_rate"] = lr
         updates, new_opt = tx.update(grads, opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
+        if cfg.skip_nonfinite_updates:
+            # guard evaluated on-device: a NaN/Inf batch leaves params,
+            # optimizer state, and BN stats untouched (the step counter
+            # still advances; stats report the skip)
+            ok = jnp.isfinite(stats["loss"])
+            keep = lambda new, old: jax.tree.map(
+                lambda a, b: jnp.where(ok, a, b), new, old)
+            new_params = keep(new_params, state.params)
+            new_opt = keep(new_opt, opt_state)
+            new_bs = keep(new_bs, state.batch_stats)
+            stats = dict(stats)
+            stats["skipped_nonfinite"] = (~ok).astype(jnp.float32)
         new_state = TrainState(params=new_params, batch_stats=new_bs,
                                opt_state=new_opt, step=state.step + 1)
         return new_state, stats

@@ -281,3 +281,27 @@ def test_subtree_checkpoint(setup, tmp_path):
     same = jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()),
                         restored.params[sub], state.params[sub])
     assert max(jax.tree.leaves(same)) == 0.0
+
+
+def test_skip_nonfinite_updates(setup):
+    """On-device non-finite guard: a NaN batch leaves params/opt/BN
+    untouched and reports the skip; a clean batch updates normally."""
+    cfg, model, consts, jb, state = setup
+    cfg2 = cfg.replace(skip_nonfinite_updates=True)
+    step = make_train_step(cfg2, model, consts, donate=False)
+    lr = jnp.asarray(lr_at_epoch(cfg2, 0), jnp.float32)
+
+    bad = dict(jb)
+    bad["input"] = jb["input"].at[0, 0, 0, 0].set(jnp.nan)
+    s1, stats = step(state, bad, jnp.asarray(0), lr, jax.random.PRNGKey(1))
+    assert float(stats["skipped_nonfinite"]) == 1.0
+    d = jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()),
+                     state.params, s1.params)
+    assert max(jax.tree.leaves(d)) == 0.0          # params untouched
+    assert int(s1.step) == 1
+
+    s2, stats2 = step(s1, jb, jnp.asarray(0), lr, jax.random.PRNGKey(2))
+    assert float(stats2["skipped_nonfinite"]) == 0.0
+    d2 = jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()),
+                      s1.params, s2.params)
+    assert max(jax.tree.leaves(d2)) > 0            # clean batch updates
