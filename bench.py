@@ -22,6 +22,12 @@ def main():
     ap.add_argument("--res", type=int, default=384)
     ap.add_argument("--knn", default="pallas_fused",
                     choices=["topk", "approx", "pallas", "pallas_fused"])
+    ap.add_argument("--self_contained", action="store_true",
+                    help="bench the single-pass RGB-D serving path "
+                         "(infer_rgbd: no host clouds, mask->cloud in-graph)")
+    ap.add_argument("--train", action="store_true",
+                    help="bench the fused train step (samples/s)")
+    ap.add_argument("--train_batch", type=int, default=8)
     args = ap.parse_args()
 
     import jax
@@ -68,6 +74,13 @@ def main():
     dev = jax.devices()[0]
     variables = jax.device_put(variables, dev)
 
+    if args.train:
+        bench_train(args, cfg, jax, jnp, variables)
+        return
+    if args.self_contained:
+        bench_self_contained(args, cfg, model, jax, jnp, batch, variables)
+        return
+
     ev = make_eval_step(cfg, model, consts)
     jb = {k: jnp.asarray(v) for k, v in batch.items()}
     bs = variables.get("batch_stats", {})
@@ -92,6 +105,85 @@ def main():
         "value": round(fps, 2),
         "unit": "frames/s",
         "vs_baseline": round(fps / BASELINE_FPS, 4),
+    }))
+
+
+def bench_self_contained(args, cfg, model, jax, jnp, batch, variables):
+    """End-to-end serving path: RGB+depth only; predicted centers, masks and
+    (in-graph) point clouds — single trunk pass (models/handnet.infer_rgbd)."""
+    from pdfnet_tpu.models.handnet import infer_rgbd
+
+    rng = jax.random.PRNGKey(0)
+
+    @jax.jit
+    def run(variables, inp, depth, K, valid):
+        result, params, hand_dicts, other = infer_rgbd(
+            model, variables, inp, depth, K, valid, rng)
+        return (result["verts3d"]["left"], result["verts3d"]["right"],
+                params["root"]["left"], params["root"]["right"],
+                other["ind"])
+
+    inp = jnp.asarray(batch["input"])
+    depth = jnp.asarray(batch["depth"])
+    K = jnp.asarray(batch["K_new"])
+    valid = jnp.asarray(batch["valid"])
+
+    for _ in range(args.warmup):
+        out = run(variables, inp, depth, K, valid)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(args.iters):
+        out = run(variables, inp, depth, K, valid)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+    fps = args.batch * args.iters / dt
+    print(json.dumps({
+        "metric": "rgbd_selfcontained_frames_per_sec_per_chip",
+        "value": round(fps, 2),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / BASELINE_FPS, 4),
+    }))
+
+
+def bench_train(args, cfg, jax, jnp, variables):
+    """Fused train-step throughput (fwd + 14-term loss + bwd + Adam)."""
+    from pdfnet_tpu.data.synthetic import make_batch
+    from pdfnet_tpu.train.loss import load_loss_consts
+    from pdfnet_tpu.train.step import TrainState, make_optimizer, \
+        make_train_step
+
+    B = args.train_batch
+    cfg = cfg.replace(batch_size=B)
+    from pdfnet_tpu.models import build_model
+    model = build_model(cfg)
+    consts = load_loss_consts()
+    np_batch = make_batch(cfg.replace(default_resolution=args.res), B, seed=0)
+    jb = {k: jnp.asarray(v) for k, v in np_batch.items()}
+
+    tx = make_optimizer(cfg)
+    state = TrainState(params=variables["params"],
+                       batch_stats=variables.get("batch_stats", {}),
+                       opt_state=tx.init(variables["params"]),
+                       step=jnp.zeros((), jnp.int32))
+    step = make_train_step(cfg, model, consts, donate=True)
+    lr = jnp.asarray(cfg.lr, jnp.float32)
+    ep = jnp.asarray(30)
+    rng = jax.random.PRNGKey(0)
+
+    for _ in range(args.warmup):
+        state, stats = step(state, jb, ep, lr, rng)
+    jax.block_until_ready(stats)
+    t0 = time.perf_counter()
+    for _ in range(args.iters):
+        state, stats = step(state, jb, ep, lr, rng)
+    jax.block_until_ready(stats)
+    dt = time.perf_counter() - t0
+    sps = B * args.iters / dt
+    print(json.dumps({
+        "metric": "train_samples_per_sec_per_chip",
+        "value": round(sps, 2),
+        "unit": "samples/s",
+        "vs_baseline": round(sps / 160.0, 4),   # 2-GPU ref recipe ~bs8 steps
     }))
 
 

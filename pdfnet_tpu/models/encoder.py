@@ -47,12 +47,24 @@ class FPNEncoder(nn.Module):
     @nn.compact
     def __call__(
         self,
-        img: jax.Array,                     # (B, H, W, 3) normalized
-        cloud: jax.Array,                   # (B, 2, N, F)
-        choose: jax.Array,                  # (B, 2, N) flat pixel idx
+        img: Optional[jax.Array],           # (B, H, W, 3) normalized
+        cloud: Optional[jax.Array],         # (B, 2, N, F)
+        choose: Optional[jax.Array],        # (B, 2, N) flat pixel idx
         ind: Optional[jax.Array],           # (B, 2) center idx or None (test)
         train: bool,
+        mode: str = "full",                 # full | image | point
+        cached: Optional[Dict[str, Any]] = None,
     ):
+        """``mode`` splits the encoder for the self-contained RGB-D path:
+        'image' runs trunk+FPN+heads+decoders and returns the intermediates,
+        'point' resumes from them with a (mid-graph constructed) cloud.  All
+        submodules carry explicit names, so conditional execution leaves the
+        parameter tree identical to 'full' (which init uses)."""
+        if mode == "point":
+            x0, pw_emb = cached["x0"], cached["pw_emb"]
+            B = x0.shape[0]
+            return self._point_phase(x0, pw_emb, cloud, choose, ind, train)
+
         gd = self.global_feature_dim
         B = img.shape[0]
         norm = lambda name: nn.BatchNorm(use_running_average=not train,
@@ -136,6 +148,20 @@ class FPNEncoder(nn.Module):
             dtype=self.dtype, name="dp_decoder")(x1, train)
         mask = mask_out                                      # (B, 384, 384, 2)
 
+        if mode == "image":
+            cached = dict(x0=x0, pw_emb=pw_emb, x2=x2, x3=x3, x4=x4,
+                          hms_fmaps=hms_fmaps, dp_fmaps=dp_fmaps)
+            return hms, mask, ret, ind, cached
+
+        fuse = self._point_phase(x0, pw_emb, cloud, choose, ind, train)
+        img_fmaps = [fuse, x2, x3, x4]
+        return hms, mask, ret, ind, img_fmaps, hms_fmaps, dp_fmaps, pw_emb
+
+    def _point_phase(self, x0, pw_emb, cloud, choose, ind, train):
+        """Center-feature conditioning + PointNet++ fusion (called inside the
+        compact __call__ scope; all submodules explicitly named)."""
+        gd = self.global_feature_dim
+        B = x0.shape[0]
         # Center features: x0 -> 512 -> 1024 at the two hand centers.
         # The reference computes both 3x3 convs over the full 96² map and
         # gathers 2 pixels (~54 GFLOP/img); convolving only the 5x5 input
@@ -172,10 +198,7 @@ class FPNEncoder(nn.Module):
         fuse = pointnet(cloud, pw_emb, choose, train)            # (B, 2, 1024)
 
         # SFT-condition the per-hand global point features on center features.
-        fuse = SFTLayer(1024, 1024, self.dtype, name="sft")(fuse, center_feat)
-
-        img_fmaps = [fuse, x2, x3, x4]
-        return hms, mask, ret, ind, img_fmaps, hms_fmaps, dp_fmaps, pw_emb
+        return SFTLayer(1024, 1024, self.dtype, name="sft")(fuse, center_feat)
 
 
 class MidFusion(nn.Module):

@@ -55,20 +55,29 @@ class HandNet(nn.Module):
             patch_heads=cfg.patch_heads, dtype=dtype, name="encoder")
 
         if choose is None or cloud is None:
-            # Test-time: need the predicted mask first.  Run the encoder in
-            # two phases is wasteful; instead precompute mask via a light
-            # first pass?  The reference reuses the same forward: masks come
-            # from the dp decoder before the pointnet stage.  We mirror that
-            # by first computing with a zero cloud (pointnet contributes
-            # nothing), extracting the mask, rebuilding the cloud, and
-            # re-running.  Cleaner: callers that have depth but no cloud
-            # should use `infer_rgbd` below, which does exactly this.
-            raise ValueError(
-                "choose/cloud are required; use HandNet.apply with "
-                "method='infer_rgbd' for the self-contained RGB-D path")
-
-        (hms, mask, ret, ind_used, img_fmaps, hms_fmaps, dp_fmaps,
-         _pw) = encoder(img, cloud.astype(jnp.float32), choose, ind, train)
+            # Self-contained RGB-D path (the reference's in-forward depth2pcl
+            # from the PREDICTED mask, intaghand_encoder.py:369-491,779-784):
+            # one trunk pass; the point cloud is constructed mid-graph from
+            # the predicted mask + depth, then only the point phase runs.
+            hms, mask, ret, ind_used, cached = encoder(
+                img, None, None, ind, train, mode="image")
+            # mask channels are [right, left] (dataset convention); the
+            # cloud builder wants [left, right] to match cloud[:, 0] == left
+            mask_lr = jax.lax.stop_gradient(mask)[..., ::-1]
+            rng = (self.make_rng("points") if self.has_rng("points")
+                   else jax.random.PRNGKey(0))
+            choose, cloud, _ok = depth_to_hand_clouds(
+                depth, mask_lr, K, valid, rng, cfg.sample_num,
+                with_normals=cfg.input_feature_num == 6,
+                fps_levels=((cfg.sample_num_level1, cfg.sample_num_level2)
+                            if cfg.sample_strategy == "FPS" else None))
+            fuse = encoder(None, cloud.astype(jnp.float32), choose, ind_used,
+                           train, mode="point", cached=cached)
+            img_fmaps = [fuse, cached["x2"], cached["x3"], cached["x4"]]
+            hms_fmaps, dp_fmaps = cached["hms_fmaps"], cached["dp_fmaps"]
+        else:
+            (hms, mask, ret, ind_used, img_fmaps, hms_fmaps, dp_fmaps,
+             _pw) = encoder(img, cloud.astype(jnp.float32), choose, ind, train)
 
         mid = MidFusion(out_dims=tuple(cfg.deconv_dims), dtype=dtype,
                         name="mid")
@@ -111,25 +120,13 @@ def infer_rgbd(model: HandNet, variables, img, depth, K, valid, rng,
     """Self-contained RGB-D inference: centers + masks + point clouds are all
     derived from the network's own predictions (demo.py semantics).
 
-    Two encoder passes, mirroring the reference's test path where depth2pcl
-    consumes the predicted mask: pass 1 with a zero cloud yields mask + hm;
-    pass 2 with the rebuilt cloud yields the final mesh.
+    Single trunk pass: __call__ with choose=None builds the cloud mid-graph
+    from the predicted mask (the reference's depth2pcl-inside-forward,
+    intaghand_encoder.py:779-784) and resumes with the point phase only —
+    half the FLOPs and compile time of the old two-pass formulation.
+
+    ``num_points`` must equal cfg.sample_num (the model's static cloud size).
     """
-    cfg = model.cfg
-    B = img.shape[0]
-    zero_choose = jnp.zeros((B, 2, num_points), jnp.int32)
-    zero_cloud = jnp.zeros((B, 2, num_points, cfg.input_feature_num))
-    _, _, _, other = model.apply(
-        variables, img, zero_choose, zero_cloud, depth, None, K, valid,
-        train=False)
-    # The mask head is trained with smooth-L1 against {0,1} targets with
-    # channel order [right, left] (dataset convention); the cloud builder
-    # wants [left, right] to match cloud[:, 0] == left.
-    mask_lr = other["mask"][..., ::-1]
-    choose, cloud, ok = depth_to_hand_clouds(
-        depth, mask_lr, K, valid, rng, num_points,
-        with_normals=cfg.input_feature_num == 6,
-        fps_levels=((cfg.sample_num_level1, cfg.sample_num_level2)
-                    if cfg.sample_strategy == "FPS" else None))
-    return model.apply(variables, img, choose, cloud, depth, None, K, valid,
-                       train=False)
+    del num_points
+    return model.apply(variables, img, None, None, depth, None, K, valid,
+                       train=False, rngs={"points": rng})
