@@ -54,6 +54,11 @@ def build_argparser() -> argparse.ArgumentParser:
     ap.add_argument("--steps", type=int, default=0,
                     help="cap steps per epoch (smoke runs)")
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--coordinator", default="",
+                    help="multi-host: coordinator host:port (auto-detected "
+                         "on TPU pods; explicit for CPU simulation)")
+    ap.add_argument("--num_processes", type=int, default=0)
+    ap.add_argument("--process_id", type=int, default=-1)
     ap.add_argument("--replicate_reference_quirks", action="store_true")
     ap.add_argument("--patch_heads", action="store_true",
                     help="evaluate non-hm CenterNet heads only at the two "
@@ -78,6 +83,18 @@ def main(argv=None):
         jax.config.update("jax_platforms", "cpu")
     cache = "/tmp/jax_cache_cpu" if args.cpu else "/tmp/jax_cache"
     jax.config.update("jax_compilation_cache_dir", cache)
+
+    # multi-host rendezvous (the torch.distributed.launch + NCCL init role,
+    # reference main.py:69-75); no-op on a single host
+    from pdfnet_tpu.parallel import mesh as mesh_lib
+    multihost = mesh_lib.maybe_initialize_distributed(
+        coordinator=args.coordinator or None,
+        num_processes=args.num_processes or None,
+        process_id=args.process_id if args.process_id >= 0 else None)
+    if multihost:
+        print(f"multi-host: process {jax.process_index()} of "
+              f"{jax.process_count()}, {jax.local_device_count()} local / "
+              f"{jax.device_count()} global devices")
 
     from pdfnet_tpu.config import Config
     from pdfnet_tpu.train.trainer import Trainer, Logger, fit

@@ -51,9 +51,17 @@ class Config:
     joints_weight: float = 1.0
     bone_dir_weight: float = 200.0
     wh_weight: float = 20.0
+    off_weight: float = 100.0         # opts.py:102 (off_hm/off_lms terms)
     use_wh_loss: bool = False         # wh term is commented out in the ref
     num_stacks: int = 1
-    # Reproduce reference's GCN right-hand-uses-left-GT bug (simplified.py:463)
+    # Reproduce the reference's numerics exactly for strict parity runs:
+    # the GCN right-hand-uses-left-GT bug (simplified.py:463), the left-valid
+    # gating of both gcn terms (:481-482), and the batch-global (rather than
+    # per-sample) zero-positive guard in the focal loss (losses.py:138-165).
+    # BatchNorm needs no gate: without axis_name, flax BN under a GSPMD-jitted
+    # step normalizes over the *global* batch, which is bit-identical to the
+    # reference's per-process BN at 1 device (the parity scenario) and
+    # strictly better (synced BN) beyond it.
     replicate_reference_quirks: bool = False
 
     # ---- train ------------------------------------------------------------

@@ -28,6 +28,33 @@ def backproject_np(depth: np.ndarray, K: np.ndarray) -> np.ndarray:
     return rays * depth[..., None]
 
 
+def normals_at_indices_np(points: np.ndarray, idx: np.ndarray) -> np.ndarray:
+    """LS plane-fit surface normals at flat pixel indices of an (H, W, 3) map.
+
+    Host twin of ``pdfnet_tpu.ops.geometry.depth_normals`` (reference
+    get_normal, lib/utils/utils.py:264-310): 5x5 dilation-2 neighborhood
+    ({-4,-2,0,2,4}^2 offsets), zero padding, determinant-guarded A^T A
+    solve against ones, L2 normalize.  Computing only at the ``idx`` sample
+    locations instead of the full map (the reference solves all H*W pixels
+    then gathers) is exact and ~140x cheaper at 1024 samples on 384^2.
+    """
+    H, W, _ = points.shape
+    p = np.pad(points, ((4, 4), (4, 4), (0, 0)))
+    ys, xs = idx // W + 4, idx % W + 4
+    offs = np.array([-4, -2, 0, 2, 4])
+    oy, ox = np.meshgrid(offs, offs, indexing="ij")
+    nbrs = p[ys[:, None] + oy.ravel()[None, :],
+             xs[:, None] + ox.ravel()[None, :]]            # (N, 25, 3)
+    ata = np.einsum("nki,nkj->nij", nbrs, nbrs)
+    atb = nbrs.sum(axis=1)
+    det = np.linalg.det(ata)
+    safe = np.where((det >= 1e-5)[:, None, None], ata,
+                    np.eye(3, dtype=points.dtype))
+    n = np.linalg.solve(safe, atb[..., None])[..., 0]
+    return (n / (np.linalg.norm(n, axis=-1, keepdims=True) + 1e-12)
+            ).astype(np.float32)
+
+
 def fps_order_host(points: np.ndarray, num_samples: int,
                    rng: np.random.RandomState) -> np.ndarray:
     """Greedy farthest-point ordering (reference interhand.py:147-178).
@@ -77,30 +104,46 @@ def sample_hand_cloud(
     rng: np.random.RandomState,
     min_pixels: int = 100,
     use_native: bool = True,
+    with_normals: bool = False,
 ) -> Tuple[np.ndarray, np.ndarray, bool]:
-    """Returns (choose (N,), cloud (N, 3), ok)."""
+    """Returns (choose (N,), cloud (N, 3) — or (N, 6) xyz+normals when
+    ``with_normals`` (INPUT_FEATURE_NUM==6, interhand.py:817-838), ok)."""
+    feat = 6 if with_normals else 3
+    invalid = (np.zeros(num_points, np.int64),
+               np.zeros((num_points, feat), np.float32), False)
     if use_native:
         from pdfnet_tpu import native
         if native.available():
-            return native.sample_hand_cloud_native(
+            choose, cloud, ok = native.sample_hand_cloud_native(
                 masked_depth, K, num_points,
                 seed=int(rng.randint(0, 2 ** 31)), min_pixels=min_pixels,
                 z_min=Z_MIN, z_max=Z_MAX, band=BAND)
-    xyz = backproject_np(masked_depth, K).reshape(-1, 3)
+            if not with_normals:
+                return choose, cloud, ok
+            if not ok:
+                return invalid
+            pts = backproject_np(masked_depth, K)
+            cloud = np.concatenate(
+                [cloud, normals_at_indices_np(pts, choose)], axis=1)
+            return choose, cloud, ok
+    pts_map = backproject_np(masked_depth, K)
+    xyz = pts_map.reshape(-1, 3)
     z = xyz[:, 2]
     nz = z[z != 0]
     if len(nz) == 0:
-        return (np.zeros(num_points, np.int64),
-                np.zeros((num_points, 3), np.float32), False)
+        return invalid
     mean = nz.mean()
     lo, hi = max(Z_MIN, mean - BAND), min(Z_MAX, mean + BAND)
     choose = np.nonzero((z > lo) & (z < hi))[0]
     if len(choose) < min_pixels:
-        return (np.zeros(num_points, np.int64),
-                np.zeros((num_points, 3), np.float32), False)
+        return invalid
     if len(choose) > num_points:
         choose = rng.choice(choose, num_points, replace=False)
     else:
         choose = np.pad(choose, (0, num_points - len(choose)), "wrap")
     rng.shuffle(choose)
-    return choose.astype(np.int64), xyz[choose].astype(np.float32), True
+    cloud = xyz[choose].astype(np.float32)
+    if with_normals:
+        cloud = np.concatenate(
+            [cloud, normals_at_indices_np(pts_map, choose)], axis=1)
+    return choose.astype(np.int64), cloud, True

@@ -61,6 +61,56 @@ def _jitted_mano_forward(side: str):
     return call
 
 
+_MANO_CACHE_CHUNK = 256
+
+
+def build_mano_gt_cache(records: List[Dict], cache_path: str,
+                        tag: str) -> Optional[Dict[str, np.ndarray]]:
+    """Precompute per-record MANO GT (verts/joints, both hands) to a disk
+    memmap, keyed by a checksum of the mano coefficients.
+
+    The reference re-runs the ManoLayer forward inside every __getitem__
+    (interhand.py:555-587) — ~20 ms/sample of pure recomputation, since the
+    output depends only on the per-record ``mano_coeff``.  Augmentation
+    (flip/rotation) is applied AFTER this cache in __getitem__.
+
+    Returns {'verts': (R, 2, 778, 3) f32 memmap, 'joints': (R, 2, 21, 3)}
+    or None when records carry no mano_coeff.
+    """
+    if not records or "mano_coeff" not in records[0]:
+        return None
+    import zlib
+
+    coeffs = np.stack([np.asarray(r["mano_coeff"], np.float32).reshape(-1)
+                       for r in records])                       # (R, 124)
+    key = zlib.crc32(coeffs.tobytes()) & 0xFFFFFFFF
+    base = os.path.join(cache_path, f"{tag}_manogt_{len(records)}_{key:08x}")
+    vp, jp = base + "_verts.npy", base + "_joints.npy"
+    if not (os.path.exists(vp) and os.path.exists(jp)):
+        R = len(records)
+        verts = np.empty((R, 2, 778, 3), np.float32)
+        joints = np.empty((R, 2, 21, 3), np.float32)
+        n = _MANO_CACHE_CHUNK
+        pad = (-R) % n
+        cp = np.concatenate([coeffs, np.zeros((pad, 124), np.float32)])
+        for s, (side, off) in enumerate((("left", 0), ("right", 62))):
+            fwd = _jitted_mano_forward(side)
+            for i in range(0, R + pad, n):
+                c = cp[i:i + n, off:off + 62]
+                v, j = fwd(c[:, 4:7], c[:, 7:52], c[:, 52:62], c[:, 1:4])
+                stop = min(i + n, R)
+                verts[i:stop, s] = np.asarray(v)[:stop - i]
+                joints[i:stop, s] = np.asarray(j)[:stop - i]
+        # atomic publish: concurrent builders race benignly
+        for path, arr in ((vp, verts), (jp, joints)):
+            tmp = f"{path}.tmp.{os.getpid()}"
+            with open(tmp, "wb") as f:     # np.save(str) would append .npy
+                np.save(f, arr)
+            os.replace(tmp, path)
+    return {"verts": np.load(vp, mmap_mode="r"),
+            "joints": np.load(jp, mmap_mode="r")}
+
+
 def mano_gt_from_coeff(coeff: np.ndarray, side: str):
     """(62,) per-hand coeff [valid, trans3, orient3, pose45, shape10] ->
     (verts 778x3, joints 21x3) in camera space."""
@@ -99,6 +149,8 @@ class H2ODataset:
             if os.path.exists(val_cache):
                 self.records += self._load(val_cache, name)
         self.records = self._slice_split(self.records, name, split)
+        self._mano_gt = build_mano_gt_cache(
+            self.records, cfg.cache_path, f"{name}_{split}")
 
     @staticmethod
     def _slice_split(records: List[Dict], name: str, split: str) -> List[Dict]:
@@ -153,7 +205,14 @@ class H2ODataset:
         res = cfg.default_resolution
 
         img = cv2.imread(os.path.join(cfg.pre_fix, rec["imgpath"]))
-        if cfg.dataset == "RHD":
+        has_depth = "depthpath" in rec
+        if not has_depth:
+            # RGB-only datasets (FreiHAND; joint_dataset.py records carry no
+            # depthpath): zero depth -> zero-padded clouds.  Validity is NOT
+            # demoted (unlike a failed depth sample) so the image-side
+            # supervision and the FreiHAND eval kit stay reachable.
+            depth = np.zeros(img.shape[:2], np.float32)
+        elif cfg.dataset == "RHD":
             d_raw = cv2.imread(os.path.join(cfg.pre_fix, rec["depthpath"]))
             depth = decode_rhd_depth(d_raw)
         else:
@@ -186,12 +245,23 @@ class H2ODataset:
         hand = {}
         if "mano_coeff" in rec:
             coeff = np.asarray(rec["mano_coeff"], np.float32).reshape(-1)
-            for side, sl in (("left", slice(0, 62)), ("right", slice(62, 124))):
-                v, j = mano_gt_from_coeff(coeff[sl], side)
+            for si, (side, sl) in enumerate(
+                    (("left", slice(0, 62)), ("right", slice(62, 124)))):
+                if self._mano_gt is not None:
+                    # writable copies: flip aug below mutates in place
+                    v = np.array(self._mano_gt["verts"][index, si])
+                    j = np.array(self._mano_gt["joints"][index, si])
+                else:
+                    v, j = mano_gt_from_coeff(coeff[sl], side)
+                # invalid hands carry a zero coeff -> template hand at the
+                # origin whose z can cross 0; the projections must stay
+                # finite (a gated loss term still NaNs on inf * 0)
                 v2 = v @ K.T
-                v2 = v2[:, :2] / v2[:, 2:]
+                v2 = np.nan_to_num(v2[:, :2] / v2[:, 2:],
+                                   posinf=0.0, neginf=0.0)
                 j2 = j @ K.T
-                j2 = j2[:, :2] / j2[:, 2:]
+                j2 = np.nan_to_num(j2[:, :2] / j2[:, 2:],
+                                   posinf=0.0, neginf=0.0)
                 if flip:
                     j2[:, 0] = W - j2[:, 0]
                     v2[:, 0] = W - v2[:, 0]
@@ -279,6 +349,15 @@ class H2ODataset:
             if flip:
                 mask_bin = mask_bin[..., ::-1]
             mask_right, mask_left = mask_bin[..., 0], mask_bin[..., 1]
+        elif mask is not None and cfg.dataset in ("HO3D", "HO3Dv3",
+                                                  "FreiHAND", "OneHand10K"):
+            # single-right-hand datasets: hand is the red blob (HO3D masks
+            # are red-hand/blue-object, interhand.py:512 comment)
+            mask_right = (mask[:, :, 2] > 100).astype(np.float32)
+            mask_left = np.zeros_like(mask_right)
+            if flip:
+                mask_left, mask_right = mask_right, mask_left
+            mask_bin = np.stack([mask_right, mask_left], axis=-1)
         elif mask is not None:  # RHD label ids
             mask_left = (((mask[:, :, 0] > 1) & (mask[:, :, 0] < 18))
                          .astype(np.float32))
@@ -294,10 +373,13 @@ class H2ODataset:
         band = ((depth > 0.2) & (depth < 2.5)).astype(np.float32)
         depth_b = depth * band
         n = cfg.sample_num
+        normals = cfg.input_feature_num == 6
         choose_l, cloud_l, ok_l = sample_hand_cloud(depth_b * mask_left,
-                                                    K_img, n, rng)
+                                                    K_img, n, rng,
+                                                    with_normals=normals)
         choose_r, cloud_r, ok_r = sample_hand_cloud(depth_b * mask_right,
-                                                    K_img, n, rng)
+                                                    K_img, n, rng,
+                                                    with_normals=normals)
         if cfg.sample_strategy == "FPS":
             if ok_l:
                 cloud_l, choose_l = fps_reorder_cloud(
@@ -307,8 +389,9 @@ class H2ODataset:
                 cloud_r, choose_r = fps_reorder_cloud(
                     cloud_r, choose_r, cfg.sample_num_level1,
                     cfg.sample_num_level2, rng)
-        valid_l = valid_l and ok_l
-        valid_r = valid_r and ok_r
+        if has_depth:          # a failed depth sample demotes the hand
+            valid_l = valid_l and ok_l
+            valid_r = valid_r and ok_r
 
         tgt = centernet_targets(hand["left"]["joints2d"],
                                 hand["right"]["joints2d"],
@@ -325,6 +408,7 @@ class H2ODataset:
             "cloud": np.stack([cloud_l, cloud_r]).astype(np.float32),
             "choose": np.stack([choose_l, choose_r]),
             "hm": tgt["hm"], "hms": tgt["hms"], "wh": tgt["wh"],
+            "off_hm": tgt["off_hm"], "off_lms": tgt["off_lms"],
             "ind": tgt["ind"],
             "valid": tgt["valid"],
             "mask": mask_bin.astype(np.float32),
@@ -350,31 +434,15 @@ class H2ODataset:
             out["frame_num"] = np.int64(int(rec["imgpath"][-10:-4]))
         return out
 
-    def batches(self, batch_size: int, epoch: int = 0):
-        order = (np.random.RandomState(self.cfg.seed + epoch)
-                 .permutation(len(self)))
-        if self.split != "train":
-            order = np.arange(len(self))
-        workers = max(int(self.cfg.num_workers), 1)
-        pool = None
-        if workers > 1:
-            from concurrent.futures import ThreadPoolExecutor
-            pool = ThreadPoolExecutor(workers)  # cv2/numpy release the GIL
-        try:
-            for i in range(0, len(order) - batch_size + 1, batch_size):
-                idxs = [int(j) for j in order[i:i + batch_size]]
-                get = lambda j: self.__getitem__(j, epoch)
-                if pool is not None:
-                    samples = list(pool.map(get, idxs))
-                else:
-                    samples = [get(j) for j in idxs]
-                keys = set(samples[0])
-                for s in samples[1:]:
-                    keys &= set(s)
-                yield {k: np.stack([s[k] for s in samples]) for k in keys}
-        finally:
-            if pool is not None:
-                pool.shutdown(wait=False)
+    def batches(self, batch_size: int, epoch: int = 0,
+                process_index: int = 0, process_count: int = 1):
+        from pdfnet_tpu.data.loader import iter_batches
+        train = self.split == "train"
+        return iter_batches(
+            lambda j: self.__getitem__(j, epoch), len(self), batch_size,
+            shuffle=train, seed=self.cfg.seed + epoch,
+            workers=max(int(self.cfg.num_workers), 1), pad_tail=not train,
+            process_index=process_index, process_count=process_count)
 
 
 def build_dataset(cfg: Config, split: str):
@@ -384,4 +452,5 @@ def build_dataset(cfg: Config, split: str):
     except FileNotFoundError:
         from pdfnet_tpu.data.synthetic import SyntheticHandDataset
         return SyntheticHandDataset(cfg, size=256 if split == "train" else 32,
-                                    seed=0 if split == "train" else 1)
+                                    seed=0 if split == "train" else 1,
+                                    train=split == "train")

@@ -139,6 +139,7 @@ class InterHandNewDataset:
             "cloud": np.zeros((2, n, 3), np.float32),
             "choose": np.zeros((2, n), np.int64),
             "hm": tgt["hm"], "hms": tgt["hms"], "wh": tgt["wh"],
+            "off_hm": tgt["off_hm"], "off_lms": tgt["off_lms"],
             "ind": tgt["ind"], "valid": tgt["valid"],
             "mask": mb.astype(np.float32),
             "K_new": camera.astype(np.float32),
@@ -153,10 +154,11 @@ class InterHandNewDataset:
             "file_id": np.int64(index),
         }
 
-    def batches(self, batch_size: int, epoch: int = 0):
-        order = np.random.RandomState(self.cfg.seed + epoch).permutation(
-            len(self)) if self.split == "train" else np.arange(len(self))
-        for i in range(0, len(order) - batch_size + 1, batch_size):
-            samples = [self.__getitem__(int(j), epoch)
-                       for j in order[i:i + batch_size]]
-            yield {k: np.stack([s[k] for s in samples]) for k in samples[0]}
+    def batches(self, batch_size: int, epoch: int = 0,
+                process_index: int = 0, process_count: int = 1):
+        from pdfnet_tpu.data.loader import iter_batches
+        train = self.split == "train"
+        return iter_batches(
+            lambda j: self.__getitem__(j, epoch), len(self), batch_size,
+            shuffle=train, seed=self.cfg.seed + epoch, pad_tail=not train,
+            process_index=process_index, process_count=process_count)

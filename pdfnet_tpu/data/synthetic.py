@@ -89,8 +89,11 @@ def make_sample(cfg: Config, seed: int) -> Dict[str, np.ndarray]:
                             cfg.down_ratio)
 
     n = cfg.sample_num
-    choose_l, cloud_l, ok_l = sample_hand_cloud(depth * m_l, K, n, rng)
-    choose_r, cloud_r, ok_r = sample_hand_cloud(depth * m_r, K, n, rng)
+    normals = cfg.input_feature_num == 6
+    choose_l, cloud_l, ok_l = sample_hand_cloud(depth * m_l, K, n, rng,
+                                                with_normals=normals)
+    choose_r, cloud_r, ok_r = sample_hand_cloud(depth * m_r, K, n, rng,
+                                                with_normals=normals)
     if cfg.sample_strategy == "FPS":
         if ok_l:
             cloud_l, choose_l = fps_reorder_cloud(
@@ -108,6 +111,7 @@ def make_sample(cfg: Config, seed: int) -> Dict[str, np.ndarray]:
         "cloud": np.stack([cloud_l, cloud_r]).astype(np.float32),
         "choose": np.stack([choose_l, choose_r]),
         "hm": tgt["hm"], "hms": tgt["hms"], "wh": tgt["wh"],
+        "off_hm": tgt["off_hm"], "off_lms": tgt["off_lms"],
         "ind": tgt["ind"], "valid": valid,
         "mask": mask.astype(np.float32),
         "mask_left_gt": m_l.astype(np.float32),
@@ -131,10 +135,12 @@ def make_batch(cfg: Config, batch_size: int, seed: int = 0) -> Dict[str, np.ndar
 class SyntheticHandDataset:
     """Iterable dataset of synthetic RGB-D batches (H2O-dict-compatible)."""
 
-    def __init__(self, cfg: Config, size: int = 512, seed: int = 0):
+    def __init__(self, cfg: Config, size: int = 512, seed: int = 0,
+                 train: bool = True):
         self.cfg = cfg
         self.size = size
         self.seed = seed
+        self.train = train
 
     def __len__(self):
         return self.size
@@ -142,9 +148,10 @@ class SyntheticHandDataset:
     def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
         return make_sample(self.cfg, self.seed * 1000003 + idx)
 
-    def batches(self, batch_size: int, epoch: int = 0):
-        order = np.random.RandomState(self.seed + epoch).permutation(self.size)
-        for i in range(0, self.size - batch_size + 1, batch_size):
-            idxs = order[i:i + batch_size]
-            samples = [self[int(j)] for j in idxs]
-            yield {k: np.stack([s[k] for s in samples]) for k in samples[0]}
+    def batches(self, batch_size: int, epoch: int = 0,
+                process_index: int = 0, process_count: int = 1):
+        from pdfnet_tpu.data.loader import iter_batches
+        return iter_batches(
+            self.__getitem__, self.size, batch_size, shuffle=self.train,
+            seed=self.seed + epoch, pad_tail=not self.train,
+            process_index=process_index, process_count=process_count)

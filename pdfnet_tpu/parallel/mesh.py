@@ -21,6 +21,56 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def maybe_initialize_distributed(
+    coordinator: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> bool:
+    """Multi-host runtime init (the reference's dist.init_process_group,
+    main.py:69-75).
+
+    On TPU pods the arguments auto-detect from the environment, so
+    ``jax.distributed.initialize()`` is called with no args whenever the
+    environment looks multi-host; explicit args support CPU simulation.
+    Returns True when running multi-process.  Safe to call twice and on a
+    single host (no-op).
+    """
+    import os
+    try:
+        from jax._src import distributed as _dist
+        if _dist.global_state.client is not None:
+            return jax.process_count() > 1
+    except Exception:
+        pass
+    explicit = coordinator is not None
+    auto = any(v in os.environ for v in
+               ("COORDINATOR_ADDRESS", "JAX_COORDINATOR_ADDRESS",
+                "MEGASCALE_COORDINATOR_ADDRESS"))
+    if not (explicit or auto):
+        return False
+    if explicit:
+        jax.distributed.initialize(coordinator_address=coordinator,
+                                   num_processes=num_processes,
+                                   process_id=process_id)
+        return jax.process_count() > 1
+    try:
+        jax.distributed.initialize()
+    except ValueError:
+        # single-host environments can carry TPU env vars without a
+        # resolvable coordinator; degrade to single-process
+        return False
+    return jax.process_count() > 1
+
+
+def process_local_batch_size(global_batch: int) -> int:
+    """Per-process slice of the global batch (the DistributedSampler role)."""
+    P = jax.process_count()
+    if global_batch % P != 0:
+        raise ValueError(f"global batch {global_batch} not divisible by "
+                         f"{P} processes")
+    return global_batch // P
+
+
 def make_mesh(num_devices: int = 0, data_axis: str = "data",
               devices=None) -> Mesh:
     """1-D data-parallel mesh over the fastest (ICI) axis."""
@@ -41,8 +91,26 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 def shard_batch(batch: Dict[str, Any], mesh: Mesh,
                 data_axis: str = "data") -> Dict[str, Any]:
-    """Place a host batch onto the mesh, sharded along the batch axis."""
+    """Place a host batch onto the mesh, sharded along the batch axis.
+
+    Single-process: the whole global batch is local -> device_put per shard.
+    Multi-process: each host holds only its slice of the global batch (the
+    input pipeline stripes records by process, data/loader.py), so the
+    global array is assembled from process-local shards
+    (jax.make_array_from_process_local_data — the GSPMD replacement for the
+    reference's DistributedSampler + DDP pairing, main.py:69-79).
+    """
     sharding = batch_sharding(mesh, data_axis)
+    if jax.process_count() > 1:
+        P = jax.process_count()
+
+        def put(x):
+            x = np.asarray(x)
+            global_shape = (x.shape[0] * P,) + x.shape[1:]
+            return jax.make_array_from_process_local_data(
+                sharding, x, global_shape)
+
+        return jax.tree.map(put, batch)
     return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
 
 

@@ -57,7 +57,8 @@ def load_loss_consts() -> LossConsts:
     )
 
 
-def focal_loss(pred: jax.Array, gt: jax.Array) -> jax.Array:
+def focal_loss(pred: jax.Array, gt: jax.Array,
+               batch_global_guard: bool = False) -> jax.Array:
     """CornerNet focal loss, per-sample (B,).  pred post-sigmoid."""
     pos = (gt == 1.0).astype(pred.dtype)
     neg = (gt < 1.0).astype(pred.dtype)
@@ -67,11 +68,21 @@ def focal_loss(pred: jax.Array, gt: jax.Array) -> jax.Array:
     axes = tuple(range(1, pred.ndim))
     num_pos = pos.sum(axis=axes)
     pos_s, neg_s = pos_l.sum(axis=axes), neg_l.sum(axis=axes)
-    # Per-sample guard: a zero-positive sample falls back to the raw negative
-    # term instead of dividing by the 1e-3 epsilon (a 1000x spike).  The
-    # reference guards only the batch-global count (losses.py _neg_loss),
-    # leaving mixed batches exposed; per-sample is strictly safer and equal
-    # whenever every sample has a positive.
+    if batch_global_guard:
+        # Strict reference numerics (losses.py _neg_loss :138-165): one
+        # scalar -(Σpos + Σneg)/Σnum_pos over the whole batch, falling back
+        # to -Σneg only when the WHOLE batch has zero positives.  Returned
+        # scaled per-sample so the caller's .mean() recovers the scalar.
+        B = pred.shape[0]
+        total_pos = num_pos.sum()
+        per = jnp.where(total_pos == 0, -neg_s,
+                        -(pos_s + neg_s) * B / jnp.maximum(total_pos, 1.0))
+        return per
+    # Per-sample guard (default): a zero-positive sample falls back to the
+    # raw negative term instead of dividing by the 1e-3 epsilon (a 1000x
+    # spike).  The reference guards only the batch-global count, leaving
+    # mixed batches exposed; per-sample is strictly safer and equal whenever
+    # every sample has a positive.
     denom = jnp.maximum(num_pos, 1.0)      # where-safe: no 0/0 in either branch
     return jnp.where(num_pos == 0, -neg_s, -(pos_s + neg_s) / denom)
 
@@ -238,10 +249,23 @@ def compute_loss(
     mask_loss = smooth_l1(other["mask"], batch["mask"])
     hms_loss = mse(other["hms"], batch["hms"])
     center_hm = clamped_sigmoid(other["ret"]["hm"])
-    hm_loss = focal_loss(center_hm, batch["hm"])
+    hm_loss = focal_loss(center_hm, batch["hm"],
+                         batch_global_guard=cfg.replicate_reference_quirks)
     wh_loss = (reg_l1_loss(other["ret"]["wh"], valid, batch["ind"],
                            batch["wh"])
-               if cfg.use_wh_loss and "wh" in batch else jnp.zeros(()))
+               if (cfg.use_wh_loss or cfg.off) and "wh" in batch
+               else jnp.zeros(()))
+    # --off heads: RegWeightedL1 on the center-offset and landmark-offset
+    # heads gathered at the GT centers (origforward's off branch,
+    # simplified.py:708-716 weights :998-1004; the live branch declares but
+    # never consumes them — here they train whenever the heads exist).
+    if cfg.off and "off_hm" in batch:
+        off_hm_loss = reg_l1_loss(other["ret"]["off_hm"], valid,
+                                  batch["ind"], batch["off_hm"])
+        off_lms_loss = reg_l1_loss(other["ret"]["off_lms"], valid,
+                                   batch["ind"], batch["off_lms"])
+    else:
+        off_hm_loss = off_lms_loss = jnp.zeros(())
 
     # --- mesh ground truth (vertex GT exists for H2O; RHD has joints only,
     # matching the reference's dataset=='H2O' gates, simplified.py:424-485) --
@@ -360,6 +384,12 @@ def compute_loss(
     loss = cfg.center_weight * hm_loss
     if cfg.use_wh_loss:
         loss = loss + cfg.wh_weight * wh_loss * 0.1
+    if cfg.off:
+        # off branch weighting (simplified.py:998-1004): off_weight on both
+        # offset terms, full wh_weight (no 0.1) on wh.
+        loss = loss + cfg.off_weight * (off_hm_loss + off_lms_loss)
+        if not cfg.use_wh_loss:
+            loss = loss + cfg.wh_weight * wh_loss
     loss = loss + w * root_loss
     if cfg.reproj_loss:
         loss = loss + w * verts_loss * 500.0
@@ -387,6 +417,8 @@ def compute_loss(
         total = hard_example_mining(loss, 0.7)
     else:
         total = loss.mean()
+    if cfg.off:
+        stats.update(off_hm_loss=off_hm_loss, off_lms_loss=off_lms_loss)
     stats.update(
         loss=total, hm_loss=hm_loss.mean(), wh_loss=wh_loss,
         root_loss=root_loss.mean(),

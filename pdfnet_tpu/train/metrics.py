@@ -26,35 +26,45 @@ class MetricAccumulator:
 
     def update(self, out: Dict[str, np.ndarray],
                batch: Dict[str, np.ndarray]) -> None:
-        """out: eval_outputs dict (numpy); batch provides lms GT and ids."""
-        def err(pred, gt):                      # (B, N, 3) -> scalar mean
-            return float(np.linalg.norm(pred - gt, axis=-1).mean())
+        """out: eval_outputs dict (numpy); batch provides lms GT and ids.
 
-        n = out["joints_pred"].shape[0]
+        Padded tail rows (batch['pad_mask'] == 0, emitted by the batch
+        loader so jit shapes stay static) are excluded, making batched eval
+        exact for any split size."""
+        w = np.asarray(batch.get(
+            "pad_mask", np.ones(out["joints_pred"].shape[0], np.float32)))
+
+        def err(pred, gt):          # (B, N, C) -> weighted per-sample sum
+            per = np.linalg.norm(pred - gt, axis=-1).mean(axis=-1)   # (B,)
+            return float((per * w).sum())
+
+        n = float(w.sum())
         if "joints_gt" in out:
             self.sums["abs_mpjpe_left"] += err(out["joints_pred"][:, 0],
-                                               out["joints_gt"][:, 0]) * 1000 * n
+                                               out["joints_gt"][:, 0]) * 1000
             self.sums["abs_mpjpe_right"] += err(out["joints_pred"][:, 1],
-                                                out["joints_gt"][:, 1]) * 1000 * n
+                                                out["joints_gt"][:, 1]) * 1000
             self.sums["abs_mpvpe_left"] += err(out["verts_pred"][:, 0],
-                                               out["verts_gt"][:, 0]) * 1000 * n
+                                               out["verts_gt"][:, 0]) * 1000
             self.sums["abs_mpvpe_right"] += err(out["verts_pred"][:, 1],
-                                                out["verts_gt"][:, 1]) * 1000 * n
+                                                out["verts_gt"][:, 1]) * 1000
             self.sums["off_mpjpe_left"] += err(out["joints_pred_off"][:, 0],
-                                               out["joints_gt_off"][:, 0]) * 1000 * n
+                                               out["joints_gt_off"][:, 0]) * 1000
             self.sums["off_mpjpe_right"] += err(out["joints_pred_off"][:, 1],
-                                                out["joints_gt_off"][:, 1]) * 1000 * n
+                                                out["joints_gt_off"][:, 1]) * 1000
             self.sums["off_mpvpe_left"] += err(out["verts_pred_off"][:, 0],
-                                               out["verts_gt_off"][:, 0]) * 1000 * n
+                                               out["verts_gt_off"][:, 0]) * 1000
             self.sums["off_mpvpe_right"] += err(out["verts_pred_off"][:, 1],
-                                                out["verts_gt_off"][:, 1]) * 1000 * n
+                                                out["verts_gt_off"][:, 1]) * 1000
         if "lms_left_gt" in batch:
             lms_gt = np.stack([batch["lms_left_gt"], batch["lms_right_gt"]], 1)
-            self.sums["lms_px"] += err(out["lms21_pred"], lms_gt) * n
+            per = np.linalg.norm(out["lms21_pred"] - lms_gt,
+                                 axis=-1).mean(axis=(1, 2))
+            self.sums["lms_px"] += float((per * w).sum())
         self.count += n
 
         # H2O challenge submission (bs=1 with ids, base_trainer.py:328-335).
-        if "id" in batch and n == 1:
+        if "id" in batch and out["joints_pred"].shape[0] == 1 and w[0] > 0:
             action = int(batch["id"][0])
             frame = int(batch["frame_num"][0])
             self._action_lists.setdefault(action, {})

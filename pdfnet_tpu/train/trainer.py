@@ -284,38 +284,53 @@ class Trainer:
 def fit(cfg: Config, train_data, eval_data=None, log_dir: str = "outputs/logs",
         ckpt_dir: str = "outputs/ckpt", eval_every: int = 5,
         save_every: int = 5, max_steps_per_epoch: Optional[int] = None):
-    """Full training recipe (scripts/train.sh equivalent)."""
+    """Full training recipe (scripts/train.sh equivalent).
+
+    Multi-host aware (the reference's torch.distributed.launch + rank-0
+    gating, main.py:69-173): each process loads its stripe of the global
+    batch (loader striping + make_array_from_process_local_data in
+    shard_batch), file I/O happens on process 0 only, and every process
+    runs the (jit-replicated) eval so no collective deadlocks.
+    """
+    P, pi = jax.process_count(), jax.process_index()
+    local_bs = (mesh_lib.process_local_batch_size(cfg.batch_size)
+                if P > 1 else cfg.batch_size)
     trainer = Trainer(cfg)
-    logger = Logger(log_dir, cfg)
-    first = next(iter(train_data.batches(cfg.batch_size, 0)))
+    logger = Logger(log_dir, cfg) if pi == 0 else None
+    log = logger.write if logger else (lambda *_: None)
+    first = next(iter(train_data.batches(local_bs, 0,
+                                         process_index=pi, process_count=P)))
     trainer.init_state(first)
     start_epoch = cfg.start_epoch
     if cfg.load_model:
         # checkpoints record the epoch they were saved AFTER; resume at the
         # next one (reference main.py:107 range(start_epoch + 1, ...))
         start_epoch = trainer.load(cfg.load_model) + 1
-        logger.write(f"resumed from {cfg.load_model}; "
-                     f"continuing at epoch {start_epoch}")
+        log(f"resumed from {cfg.load_model}; "
+            f"continuing at epoch {start_epoch}")
 
     from pdfnet_tpu.data.prefetch import prefetch
 
     for epoch in range(start_epoch, cfg.num_epochs):
         t0 = time.time()
-        gen = train_data.batches(cfg.batch_size, epoch)
+        gen = train_data.batches(local_bs, epoch,
+                                 process_index=pi, process_count=P)
         if max_steps_per_epoch:
             import itertools
             gen = itertools.islice(gen, max_steps_per_epoch)
         means = trainer.run_epoch(epoch, prefetch(gen, depth=2), logger)
-        logger.write(f"epoch {epoch}: loss={means.get('loss', float('nan')):.3f} "
-                     f"({time.time() - t0:.1f}s, lr={lr_at_epoch(cfg, epoch):.2e})")
+        log(f"epoch {epoch}: loss={means.get('loss', float('nan')):.3f} "
+            f"({time.time() - t0:.1f}s, lr={lr_at_epoch(cfg, epoch):.2e})")
         if (eval_data is not None and trainer.eval_step is not None
                 and (epoch + 1) % eval_every == 0):
             acc = trainer.evaluate(eval_data.batches(cfg.eval_batch_size, 0))
-            block = acc.format_block(f"epoch {epoch}")
-            logger.write(block)
-            with open(os.path.join(log_dir, f"{cfg.dataset}-val.txt"), "a") as f:
-                f.write(block)
-        if (epoch + 1) % save_every == 0:
+            if pi == 0:
+                block = acc.format_block(f"epoch {epoch}")
+                log(block)
+                with open(os.path.join(log_dir,
+                                       f"{cfg.dataset}-val.txt"), "a") as f:
+                    f.write(block)
+        if (epoch + 1) % save_every == 0 and pi == 0:
             path = trainer.save(ckpt_dir, epoch)
-            logger.write(f"saved {path}")
+            log(f"saved {path}")
     return trainer

@@ -1,0 +1,52 @@
+"""Worker process for the 2-process CPU multi-host simulation test.
+
+Each of the 2 processes exposes 2 virtual CPU devices (4 global) and
+exercises the full multi-host data-parallel path: jax.distributed init,
+per-process record striping, global-array assembly from process-local
+shards, and a cross-process jitted reduction (the role of the reference's
+DDP/NCCL + DistributedSampler stack, main.py:69-79).
+"""
+
+import os
+import sys
+
+
+def main():
+    pid, port = int(sys.argv[1]), sys.argv[2]
+    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+    import numpy as np
+
+    from pdfnet_tpu.data.loader import iter_batches
+    from pdfnet_tpu.parallel import mesh as mesh_lib
+
+    assert mesh_lib.maybe_initialize_distributed(f"localhost:{port}", 2, pid)
+    assert jax.process_count() == 2 and jax.device_count() == 4
+
+    # loader striping: process p sees records p, p+2, p+4, ...
+    fetch = lambda i: {"x": np.full((3,), i, np.float32)}
+    batches = list(iter_batches(fetch, 8, 2, shuffle=False,
+                                process_index=pid, process_count=2))
+    ids = sorted(int(b["x"][j, 0]) for b in batches for j in range(2))
+    assert ids == [pid, pid + 2, pid + 4, pid + 6], ids
+
+    assert mesh_lib.process_local_batch_size(8) == 4
+
+    # global batch 4 assembled from 2-row process-local shards
+    mesh = mesh_lib.make_mesh()
+    local = np.stack([np.full((3,), pid * 2 + k, np.float32)
+                      for k in range(2)])
+    gb = mesh_lib.shard_batch({"x": local}, mesh)
+    assert gb["x"].shape == (4, 3), gb["x"].shape
+
+    # jitted cross-process reduction over the sharded global array
+    total = jax.jit(jnp.sum)(gb["x"])
+    expect = float(sum(range(4)) * 3)
+    assert abs(float(total) - expect) < 1e-6, (float(total), expect)
+    print(f"proc {pid} multihost ok", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -274,3 +274,129 @@ def test_h2o3d_branch(h2o3d_tree):
     pj = j @ s["K_new"].T
     np.testing.assert_allclose(pj[:, :2] / pj[:, 2:], s["lms_left_gt"],
                                atol=0.5)
+
+
+def test_mano_gt_cache_matches_per_sample_forward(h2o_tree):
+    """The precomputed MANO-GT memmap must reproduce the per-sample jitted
+    forward exactly (same compiled function, batched)."""
+    from pdfnet_tpu.data.h2o import H2ODataset, mano_gt_from_coeff
+
+    ds = H2ODataset(_cfg(h2o_tree), "train")
+    assert ds._mano_gt is not None
+    assert ds._mano_gt["verts"].shape == (3, 2, 778, 3)
+    for i in (0, 2):
+        coeff = np.asarray(ds.records[i]["mano_coeff"], np.float32)
+        for si, (side, off) in enumerate((("left", 0), ("right", 62))):
+            v, j = mano_gt_from_coeff(coeff[off:off + 62], side)
+            np.testing.assert_allclose(ds._mano_gt["verts"][i, si], v,
+                                       atol=1e-6)
+            np.testing.assert_allclose(ds._mano_gt["joints"][i, si], j,
+                                       atol=1e-6)
+    # cache files are reused on reconstruction (no rebuild)
+    import glob
+    n_files = len(glob.glob(os.path.join(h2o_tree, "*_manogt_*")))
+    ds2 = H2ODataset(_cfg(h2o_tree), "train")
+    assert len(glob.glob(os.path.join(h2o_tree, "*_manogt_*"))) == n_files
+    s1, s2 = ds.__getitem__(1, epoch=0), ds2.__getitem__(1, epoch=0)
+    np.testing.assert_allclose(s1["verts_left_gt"], s2["verts_left_gt"])
+
+
+def _single_hand_tree(root, name, with_depth, with_mask):
+    """Mini FreiHAND/HO3D-format tree: single right hand, optional 16-bit
+    depth and red-hand mask (joint_dataset.py conventions)."""
+    img_dir = root / name / "seq" / "color"
+    os.makedirs(img_dir)
+    if with_depth:
+        os.makedirs(root / name / "seq" / "depth")
+    if with_mask:
+        os.makedirs(root / name / "seq" / "mask")
+    H, W = 480, 640
+    K = np.array([[520.0, 0, 320], [0, 520.0, 240], [0, 0, 1]], np.float32)
+    rng = np.random.RandomState(5)
+    records = []
+    for i in range(3):
+        coeff = np.zeros(124, np.float32)
+        o = 62                                    # right hand block
+        coeff[o] = 1.0
+        coeff[o + 1:o + 4] = [0.02, 0.0, 0.55]
+        coeff[o + 4:o + 7] = rng.uniform(-0.3, 0.3, 3)
+        coeff[o + 7:o + 52] = rng.uniform(-0.2, 0.2, 45)
+        coeff[o + 52:o + 62] = rng.uniform(-0.5, 0.5, 10)
+        c = mano.load_mano_consts("right")
+        v, j = mano.mano_forward(c, coeff[None, o + 4:o + 7],
+                                 coeff[None, o + 7:o + 52],
+                                 coeff[None, o + 52:o + 62],
+                                 trans=coeff[None, o + 1:o + 4])
+        v, j = np.asarray(v[0]), np.asarray(j[0])
+        pj = j @ K.T
+        lms = np.zeros((42, 2), np.float32)
+        lms[21:] = pj[:, :2] / pj[:, 2:]
+        img = np.full((H, W, 3), 70, np.uint8)
+        depth_mm = np.zeros((H, W), np.uint16)
+        mask = np.zeros((H, W, 3), np.uint8)
+        pv = v @ K.T
+        uv = (pv[:, :2] / pv[:, 2:]).astype(int)
+        okm = ((uv[:, 0] >= 2) & (uv[:, 0] < W - 2) &
+               (uv[:, 1] >= 2) & (uv[:, 1] < H - 2))
+        for (x, y), z in zip(uv[okm], v[okm, 2]):
+            depth_mm[y - 2:y + 3, x - 2:x + 3] = int(z * 1000)
+            mask[y - 2:y + 3, x - 2:x + 3, 2] = 255      # red hand (BGR)
+            img[y - 2:y + 3, x - 2:x + 3] = (160, 150, 130)
+        cv2.imwrite(str(img_dir / f"{i:06d}.png"), img)
+        rec = {"imgpath": f"seq/color/{i:06d}.png", "mano_coeff": coeff,
+               "lms": lms,
+               "joints": np.concatenate([np.zeros((21, 3), np.float32), j]),
+               "K": K}
+        if with_depth:
+            cv2.imwrite(str(root / name / "seq" / "depth" / f"{i:06d}.png"),
+                        depth_mm)
+            rec["depthpath"] = f"seq/depth/{i:06d}.png"
+        if with_mask:
+            cv2.imwrite(str(root / name / "seq" / "mask" / f"{i:06d}.png"),
+                        mask)
+        records.append(rec)
+    return records
+
+
+def test_freihand_branch(tmp_path):
+    """FreiHAND format: RGB-only (no depthpath, no mask) single right hand.
+    Validity must NOT be demoted by the missing depth (clouds zero-padded)."""
+    from pdfnet_tpu.data.h2o import H2ODataset
+
+    records = _single_hand_tree(tmp_path, "FreiHAND", with_depth=False,
+                                with_mask=False)
+    with open(tmp_path / "FreiHAND_train.pkl", "wb") as f:
+        pickle.dump(records, f)
+    cfg = Config(cache_path=str(tmp_path), pre_fix=str(tmp_path),
+                 dataset="FreiHAND", sample_num=256)
+    ds = H2ODataset(cfg, "train")
+    assert len(ds) == 3                 # FreiHAND trains on all records
+    s = ds.__getitem__(0, epoch=1)
+    B_valid = s["valid"]
+    # exactly one hand valid (right, unless the flip aug swapped sides)
+    assert B_valid.sum() == 1.0, B_valid
+    assert np.all(s["depth"] == 0.0)
+    assert np.all(s["cloud"] == 0.0)    # zero-padded, not demoted
+    assert s["verts_right_gt"].shape == (778, 3)
+
+
+def test_ho3d_branch(tmp_path):
+    """HO3D format: 16-bit depth + red-hand mask, single right hand, and the
+    reference's [3000:-3000] train slicing asymmetry."""
+    from pdfnet_tpu.data.h2o import H2ODataset
+
+    records = _single_hand_tree(tmp_path, "HO3D", with_depth=True,
+                                with_mask=True)
+    with open(tmp_path / "HO3D_test.pkl", "wb") as f:
+        pickle.dump(records, f)
+    cfg = Config(cache_path=str(tmp_path), pre_fix=str(tmp_path),
+                 dataset="HO3D", sample_num=256)
+    ds = H2ODataset(cfg, "test")
+    s = ds.__getitem__(0)
+    # red mask decoded into the RIGHT channel-slot ([right, left] order)
+    assert s["mask"].shape[-1] == 2
+    assert s["mask"][..., 0].sum() > 0 and s["mask"][..., 1].sum() == 0
+    assert s["valid"][1] == 1 and s["valid"][0] == 0
+    # depth produced a real cloud for the right hand
+    assert np.abs(s["cloud"][1]).sum() > 0
+    assert np.all(s["cloud"][0] == 0)

@@ -1,5 +1,7 @@
 """Data-parallel mesh tests on the virtual 8-device CPU mesh."""
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -111,3 +113,38 @@ def test_2d_mesh_train_step_matches_dp():
     np.testing.assert_allclose(float(stats2["loss"]), float(stats1["loss"]),
                                rtol=1e-4)
     assert int(new2.step) == 1
+
+
+def test_two_process_cpu_multihost_simulation():
+    """Full multi-host wiring on one machine: 2 OS processes x 2 virtual CPU
+    devices, jax.distributed rendezvous, loader striping, global-array
+    assembly, cross-process jitted reduction (reference main.py:69-79)."""
+    import socket
+    import subprocess
+    import sys
+
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+
+    worker = os.path.join(os.path.dirname(__file__), "multihost_worker.py")
+    env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+    env.pop("JAX_PLATFORMS", None)
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env["PYTHONPATH"] = repo_root + os.pathsep + env.get("PYTHONPATH", "")
+    procs = [subprocess.Popen([sys.executable, worker, str(i), str(port)],
+                              stdout=subprocess.PIPE,
+                              stderr=subprocess.STDOUT, env=env, text=True)
+             for i in range(2)]
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=420)
+            outs.append(out)
+    except subprocess.TimeoutExpired:
+        for p in procs:
+            p.kill()
+        pytest.fail("multi-host simulation timed out:\n" + "\n".join(outs))
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"proc {i} failed:\n{out}"
+        assert f"proc {i} multihost ok" in out, out

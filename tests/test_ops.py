@@ -253,3 +253,28 @@ def test_fused_level2_grouping_and_grad(monkeypatch):
     np.testing.assert_allclose(np.asarray(jax.grad(fused)(feat)),
                                np.asarray(jax.grad(generic)(feat)),
                                atol=1e-4)
+
+
+def test_host_normals_match_device_twin():
+    """data.cloud.normals_at_indices_np must agree with
+    ops.geometry.depth_normals (reference get_normal, utils.py:264-310) at
+    every sampled pixel, including zero-padded borders."""
+    import jax.numpy as jnp
+    from pdfnet_tpu.data.cloud import backproject_np, normals_at_indices_np
+    from pdfnet_tpu.ops.geometry import backproject_depth, depth_normals
+
+    rng = np.random.RandomState(3)
+    H = W = 48
+    depth = rng.uniform(0.4, 0.6, (H, W)).astype(np.float32)
+    # smooth it a little and punch mask holes (masked hand depth has zeros)
+    depth[rng.uniform(size=(H, W)) < 0.3] = 0.0
+    K = np.array([[60.0, 0, W / 2], [0, 60.0, H / 2], [0, 0, 1]], np.float32)
+
+    pts_host = backproject_np(depth, K)
+    idx = rng.choice(H * W, 256, replace=False).astype(np.int64)
+    n_host = normals_at_indices_np(pts_host, idx)
+
+    pts_dev = backproject_depth(jnp.asarray(depth),
+                                jnp.asarray(np.linalg.inv(K)))
+    n_dev = np.asarray(depth_normals(pts_dev)).reshape(-1, 3)[idx]
+    np.testing.assert_allclose(n_host, n_dev, atol=2e-3)

@@ -305,3 +305,159 @@ def test_skip_nonfinite_updates(setup):
     d2 = jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()),
                       s1.params, s2.params)
     assert max(jax.tree.leaves(d2)) > 0            # clean batch updates
+
+
+def test_off_head_losses(setup):
+    """--off heads get RegWeightedL1 supervision (origforward off branch,
+    simplified.py:708-716, weights :998-1004)."""
+    cfg, _, consts, jb, _ = setup
+    cfg_off = cfg.replace(off=True)
+    assert "off_hm" in cfg_off.heads and "off_lms" in cfg_off.heads
+    model = build_model(cfg_off)
+    batch = make_batch(cfg_off, 2, seed=0)
+    jb2 = {k: jnp.asarray(v) for k, v in batch.items()}
+    assert jb2["off_hm"].shape == (2, 2, 2)
+    assert jb2["off_lms"].shape == (2, 2, 42)
+    state = create_train_state(cfg_off, model, jax.random.PRNGKey(0), jb2)
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    outs = model.apply(variables, jb2["input"], jb2["choose"], jb2["cloud"],
+                       jb2["depth"], jb2["ind"], jb2["K_new"], jb2["valid"],
+                       train=False)
+    loss, stats = compute_loss(cfg_off, consts, *outs, jb2, jnp.asarray(30),
+                               "train")
+    assert np.isfinite(float(loss))
+    for k in ("off_hm_loss", "off_lms_loss", "wh_loss"):
+        assert k in stats and np.isfinite(float(stats[k])), k
+    # the off terms actually contribute to the total
+    base, _ = compute_loss(cfg_off.replace(off_weight=0.0, wh_weight=0.0),
+                           consts, *outs, jb2, jnp.asarray(30), "train")
+    expect = (float(base)
+              + cfg_off.off_weight * (float(stats["off_hm_loss"])
+                                      + float(stats["off_lms_loss"]))
+              + cfg_off.wh_weight * float(stats["wh_loss"]))
+    assert abs(float(loss) - expect) < 1e-3 * max(1.0, abs(expect))
+
+
+def test_focal_loss_batch_global_quirk():
+    """replicate_reference_quirks switches the focal guard to the
+    reference's batch-global normalization (losses.py:138-165)."""
+    from pdfnet_tpu.train.loss import focal_loss
+    rng = np.random.RandomState(0)
+    pred = jnp.asarray(rng.uniform(0.01, 0.99, (3, 8, 8, 2)).astype(np.float32))
+    gt = jnp.zeros((3, 8, 8, 2), np.float32)
+    gt = gt.at[0, 2, 2, 0].set(1.0).at[1, 4, 4, 1].set(1.0)
+    gt = gt.at[1, 5, 5, 0].set(1.0)  # sample 1 has 2 positives, sample 2 none
+    per = focal_loss(pred, gt)
+    glob = focal_loss(pred, gt, batch_global_guard=True)
+    # torch reference semantics: scalar -(sum pos + sum neg)/num_pos_total
+    pos = np.asarray(gt) == 1.0
+    neg = ~pos
+    p = np.asarray(pred)
+    g = np.asarray(gt)
+    pos_l = (np.log(p) * (1 - p) ** 2 * pos).sum()
+    neg_l = (np.log(1 - p) * p ** 2 * (1 - g) ** 4 * neg).sum()
+    ref = -(pos_l + neg_l) / pos.sum()
+    assert abs(float(glob.mean()) - ref) < 1e-5
+    # and differs from the per-sample-guarded default on this mixed batch
+    assert abs(float(per.mean()) - ref) > 1e-6
+
+
+def test_batched_eval_exact_with_tail_padding(setup):
+    """--eval_batch_size N must equal bs=1 metrics on any split size: the
+    loader pads the tail sub-batch and MetricAccumulator masks it out
+    (exact replacement for the reference's bs=1 eval loop,
+    base_trainer.py:207-491)."""
+    from pdfnet_tpu.data.synthetic import SyntheticHandDataset
+
+    cfg, model, consts, jb, state = setup
+    eval_step = make_eval_step(cfg, model, consts)
+    ds = SyntheticHandDataset(cfg, size=10, seed=7, train=False)
+
+    def run(bs):
+        acc = MetricAccumulator()
+        for batch in ds.batches(bs):
+            assert batch["input"].shape[0] == bs      # static shapes
+            jb2 = {k: jnp.asarray(v) for k, v in batch.items()}
+            out = eval_step(state.params, state.batch_stats, jb2)
+            acc.update(jax.tree.map(np.asarray, out), batch)
+        return acc
+
+    acc1, acc4 = run(1), run(4)
+    assert acc1.count == 10 and acc4.count == 10
+    r1, r4 = acc1.result(), acc4.result()
+    for k in r1:
+        # same samples, same weights; residual diff is only XLA f32
+        # accumulation-order noise across batch shapes
+        assert abs(r1[k] - r4[k]) <= 5e-4 * max(1.0, abs(r1[k])), (k, r1[k],
+                                                                   r4[k])
+
+
+def test_pad_mask_accumulation_exact():
+    """MetricAccumulator drops pad rows EXACTLY: accumulating 10 fake
+    samples at bs=1 equals bs=4-with-padded-tail to float64 precision."""
+    rng = np.random.RandomState(11)
+    outs, batches = [], []
+    for _ in range(10):
+        out = {
+            "joints_pred": rng.randn(1, 2, 21, 3),
+            "verts_pred": rng.randn(1, 2, 778, 3),
+            "joints_pred_off": rng.randn(1, 2, 21, 3),
+            "verts_pred_off": rng.randn(1, 2, 778, 3),
+            "joints_gt": rng.randn(1, 2, 21, 3),
+            "verts_gt": rng.randn(1, 2, 778, 3),
+            "joints_gt_off": rng.randn(1, 2, 21, 3),
+            "verts_gt_off": rng.randn(1, 2, 778, 3),
+            "lms21_pred": rng.randn(1, 2, 21, 2),
+        }
+        outs.append(out)
+        batches.append({"lms_left_gt": rng.randn(1, 21, 2),
+                        "lms_right_gt": rng.randn(1, 21, 2)})
+
+    acc1 = MetricAccumulator()
+    for o, b in zip(outs, batches):
+        acc1.update(o, b)
+
+    cat = lambda ds, k: np.concatenate([d[k] for d in ds])
+    acc4 = MetricAccumulator()
+    for i in range(0, 10, 4):
+        sl_o, sl_b = outs[i:i + 4], batches[i:i + 4]
+        pad = 4 - len(sl_o)
+        sl_o, sl_b = sl_o + [sl_o[-1]] * pad, sl_b + [sl_b[-1]] * pad
+        o = {k: cat(sl_o, k) for k in sl_o[0]}
+        b = {k: cat(sl_b, k) for k in sl_b[0]}
+        mask = np.ones(4, np.float32)
+        if pad:
+            mask[-pad:] = 0.0
+        b["pad_mask"] = mask
+        acc4.update(o, b)
+
+    assert acc1.count == 10 and acc4.count == 10
+    r1, r4 = acc1.result(), acc4.result()
+    for k in r1:
+        np.testing.assert_allclose(r1[k], r4[k], rtol=1e-12), k
+
+
+def test_six_channel_cloud_train_step():
+    """input_feature_num=6: the host pipeline emits xyz+normal clouds
+    (reference interhand.py:817-838) and the full train step runs on them."""
+    from pdfnet_tpu.data.synthetic import make_batch as mk
+
+    cfg6 = Config(default_resolution=96, compute_dtype="float32",
+                  sample_num=128, sample_num_level1=64, sample_num_level2=16,
+                  knn_k=8, batch_size=2, input_feature_num=6)
+    batch = mk(cfg6, 2, seed=0)
+    assert batch["cloud"].shape == (2, 2, 128, 6)
+    norms = np.linalg.norm(batch["cloud"][..., 3:], axis=-1)
+    valid = batch["valid"] > 0
+    assert np.all(np.abs(norms[valid] - 1.0) < 1e-3)   # unit normals
+
+    model = build_model(cfg6)
+    jb = {k: jnp.asarray(v) for k, v in batch.items()}
+    state = create_train_state(cfg6, model, jax.random.PRNGKey(0), jb)
+    from pdfnet_tpu.train.loss import load_loss_consts as llc
+    from pdfnet_tpu.train.step import make_train_step as mts
+    step = mts(cfg6, model, llc(), donate=False)
+    new_state, stats = step(state, jb, jnp.asarray(0),
+                            jnp.asarray(1e-4, jnp.float32),
+                            jax.random.PRNGKey(1))
+    assert np.isfinite(float(stats["loss"]))

@@ -1,0 +1,120 @@
+"""Training equivalence vs the reference: N optimizer steps on a shared
+fixed batch must reproduce the torch loss trajectory and parameter drift.
+
+Fixtures from ``python tools/make_model_golden.py --train_steps 5``
+(torch-cpu, dropout off, epoch=30 so every alpha-gated term is active);
+skipped when absent.  This is the strongest parity evidence available
+without real H2O data: it exercises forward, every live loss term
+(simplified.py:364-655 with the reference quirks replicated), backward
+through the whole graph, and the Adam update (main.py:63,
+base_trainer.py:125-150).
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+FIXTURES = "/tmp/pdfnet_parity"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.exists(os.path.join(FIXTURES, "train_traj.npz")),
+    reason="train-trajectory fixtures not generated "
+           "(run tools/make_model_golden.py --train_steps 5)")
+
+
+@pytest.fixture(scope="module")
+def traj():
+    import jax
+    import jax.numpy as jnp
+    from pdfnet_tpu.config import Config
+    from pdfnet_tpu.models import build_model
+    from pdfnet_tpu.train.loss import load_loss_consts
+    from pdfnet_tpu.train.step import TrainState, make_optimizer, \
+        make_train_step
+    from pdfnet_tpu.utils.convert_torch import convert_state_dict
+
+    ref = dict(np.load(os.path.join(FIXTURES, "train_traj.npz")))
+    np_batch = dict(np.load(os.path.join(FIXTURES, "train_batch.npz")))
+    sd0 = dict(np.load(os.path.join(FIXTURES, "train_state_dict.npz")))
+
+    variables, _ = convert_state_dict(sd0, verbose=False)
+    cfg = Config(default_resolution=384, compute_dtype="float32",
+                 knn_method="topk", gather_method="take", dropout=0.0,
+                 batch_size=int(ref["B"]), lr=float(ref["lr"]),
+                 replicate_reference_quirks=True)
+    model = build_model(cfg)
+    consts = load_loss_consts()
+
+    jb = {k: jnp.asarray(v) for k, v in np_batch.items()}
+    tx = make_optimizer(cfg)
+    state = TrainState(params=variables["params"],
+                       batch_stats=variables["batch_stats"],
+                       opt_state=tx.init(variables["params"]),
+                       step=jnp.zeros((), jnp.int32))
+    step = make_train_step(cfg, model, consts, donate=False)
+
+    losses, stats_hist = [], []
+    lr = jnp.asarray(cfg.lr, jnp.float32)
+    ep = jnp.asarray(int(ref["epoch"]))
+    rng = jax.random.PRNGKey(0)          # dropout p=0: value irrelevant
+    for _ in range(int(ref["steps"])):
+        state, stats = step(state, jb, ep, lr, rng)
+        losses.append(float(stats["loss"]))
+        stats_hist.append({k: float(v) for k, v in stats.items()})
+    return ref, np.asarray(losses), state, stats_hist
+
+
+def test_loss_trajectory_matches_torch(traj):
+    ref, losses, _, _ = traj
+    ref_losses = ref["losses"]
+    assert len(losses) == len(ref_losses)
+    rel = np.abs(losses - ref_losses) / np.maximum(np.abs(ref_losses), 1e-6)
+    # step 0 is pure forward parity; later steps compound optimizer drift
+    assert rel[0] < 2e-4, (losses[0], ref_losses[0])
+    assert np.all(rel < 5e-3), list(zip(losses, ref_losses))
+
+
+def test_loss_terms_match_torch_step0(traj):
+    """Every individual live loss term agrees with torch on the first step
+    (the per-term decomposition of simplified.py:608-650)."""
+    ref, _, _, stats_hist = traj
+    checked = 0
+    for key in ("hm_loss", "root_loss", "mask_loss", "hms_loss",
+                "joints2d_loss", "joints_loss", "bone_direc_loss",
+                "abs_joints_loss", "verts2d_loss", "verts_loss", "norm_loss",
+                "edge_loss", "gcn_loss", "gcn_2d_loss", "abs_verts_loss"):
+        rk = f"stat_0_{key}"
+        if rk not in ref:
+            continue
+        tv, ov = float(ref[rk]), stats_hist[0][key]
+        rel = abs(ov - tv) / max(abs(tv), 1e-6)
+        assert rel < 1e-3 or abs(ov - tv) < 1e-5, (key, tv, ov)
+        checked += 1
+    assert checked >= 14
+
+
+def test_param_drift_matches_torch(traj):
+    """After N steps the converted torch parameters and ours agree."""
+    import jax
+    from pdfnet_tpu.utils.convert_torch import convert_state_dict
+
+    ref, _, state, _ = traj
+    final_path = os.path.join(FIXTURES, "train_state_dict_final.npz")
+    sdf = dict(np.load(final_path))
+    ref_vars, _ = convert_state_dict(sdf, verbose=False)
+
+    flat_ref = jax.tree_util.tree_flatten_with_path(ref_vars["params"])[0]
+    flat_ours = jax.tree_util.tree_flatten_with_path(state.params)[0]
+    assert len(flat_ref) == len(flat_ours)
+    worst = (0.0, None)
+    for (pr, vr), (po, vo) in zip(flat_ref, flat_ours):
+        assert pr == po
+        vr, vo = np.asarray(vr), np.asarray(vo)
+        # Adam moves every weight by ~lr (1e-4) per step; agreement well
+        # under that means the gradients matched in sign and magnitude
+        mad = float(np.mean(np.abs(vr - vo)))
+        if mad > worst[0]:
+            worst = (mad, pr)
+        assert float(np.max(np.abs(vr - vo))) < 5e-4, (pr, mad)
+    assert worst[0] < 5e-5, worst

@@ -22,6 +22,9 @@ OUT_DIR = "/tmp/pdfnet_parity"
 
 def install_shims(ref_root):
     sys.path.insert(0, ref_root)
+    # the reference's _init_paths.py prepends lib/ so `models.*`/`utils.*`
+    # absolute imports resolve (base_trainer.py:10)
+    sys.path.insert(0, os.path.join(ref_root, "lib"))
     import lib.models.networks.resnet as vres
     tv = types.ModuleType("torchvision")
     tvm = types.ModuleType("torchvision.models")
@@ -30,16 +33,207 @@ def install_shims(ref_root):
     tv.models = tvm
     sys.modules["torchvision"] = tv
     sys.modules["torchvision.models"] = tvm
+    # transforms.Resize: imported by simplified.py:30 but unused on the live
+    # H2O branch
+    tvt = types.ModuleType("torchvision.transforms")
+    tvt.Resize = type("Resize", (), {"__init__": lambda self, *a, **k: None})
+    tv.transforms = tvt
+    sys.modules["torchvision.transforms"] = tvt
+    # pytorch3d: imported at simplified.py module level; only touched by the
+    # photometric/vis paths, which the recorder never takes
+    p3d = types.ModuleType("pytorch3d")
+    p3ds = types.ModuleType("pytorch3d.structures")
+    p3ds.Meshes = type("Meshes", (), {})
+    p3dr = types.ModuleType("pytorch3d.renderer")
+    p3drm = types.ModuleType("pytorch3d.renderer.mesh")
+    p3drmt = types.ModuleType("pytorch3d.renderer.mesh.textures")
+    p3drmt.Textures = type("Textures", (), {})
+    for name, mod in (("pytorch3d", p3d), ("pytorch3d.structures", p3ds),
+                      ("pytorch3d.renderer", p3dr),
+                      ("pytorch3d.renderer.mesh", p3drm),
+                      ("pytorch3d.renderer.mesh.textures", p3drmt)):
+        sys.modules[name] = mod
+    # progress.bar.Bar: base_trainer's console progress bar
+    prog = types.ModuleType("progress")
+    progb = types.ModuleType("progress.bar")
+    progb.Bar = type("Bar", (), {"__init__": lambda self, *a, **k: None,
+                                 "next": lambda self: None,
+                                 "finish": lambda self: None})
+    prog.bar = progb
+    sys.modules["progress"] = prog
+    sys.modules["progress.bar"] = progb
+    # tensorboardX (lib/logger.py import chain)
+    tbx = types.ModuleType("tensorboardX")
+    tbx.SummaryWriter = type("SummaryWriter", (),
+                             {"__init__": lambda self, *a, **k: None})
+    sys.modules["tensorboardX"] = tbx
+    # skimage.io (lib/utils/fh_utils.py:6, FreiHAND eval kit import chain)
+    ski = types.ModuleType("skimage")
+    skio = types.ModuleType("skimage.io")
+    skio.imread = lambda *a, **k: None
+    skio.imsave = lambda *a, **k: None
+    ski.io = skio
+    sys.modules["skimage"] = ski
+    sys.modules["skimage.io"] = skio
+
+
+def _install_chumpy_stub():
+    """Chumpy-free loading of the reference MANO pickles (same stub as
+    tools/make_goldens.py)."""
+
+    class _Ch:
+        # __module__ makes str(type(x)) contain 'chumpy', which
+        # Mano_model.to_np keys its densification on (:541-548)
+        __module__ = "chumpy.ch"
+
+        @property
+        def r(self):
+            d = vars(self)
+            if "x" in d:
+                return np.asarray(d["x"])
+            if "a" in d and "idxs" in d:
+                src = (_Ch.r.fget(d["a"])
+                       if not isinstance(d["a"], np.ndarray) else d["a"])
+                out = np.asarray(src).ravel()[np.asarray(d["idxs"])]
+                shape = d.get("preferred_shape")
+                return out.reshape(shape) if shape else out.reshape(778, 3, -1)
+            raise AttributeError("cannot densify stub chumpy object")
+
+        def __array__(self, dtype=None):
+            r = self.r
+            return r.astype(dtype) if dtype is not None else r
+
+    for modname in ("chumpy", "chumpy.ch", "chumpy.reordering"):
+        sys.modules[modname] = types.ModuleType(modname)
+    sys.modules["chumpy"].Ch = _Ch
+    sys.modules["chumpy.ch"].Ch = _Ch
+    sys.modules["chumpy.reordering"].Select = type(
+        "Select", (_Ch,), {"__module__": "chumpy.reordering"})
+
+
+def _train_opt(B):
+    """Full flag surface the live CtdetLoss branch + ManoRender consume."""
+    from types import SimpleNamespace
+    return SimpleNamespace(
+        heads={"hm": 2, "wh": 2, "params": 122}, depth=True, iterations=False,
+        PCA_SZ=63, knn_K=64, ball_radius=0.015, ball_radius2=0.04,
+        sample_num_level1=512, sample_num_level2=128, INPUT_FEATURE_NUM=3,
+        SAMPLE_NUM=1024, default_resolution=384,
+        DECONV_DIMS=[256, 256, 256, 256], GCN_IN_DIM=[512, 256, 128],
+        GCN_OUT_DIM=[256, 128, 64], IMG_DIMS=[256, 128, 64], graph_k=2,
+        graph_layer_num=4,
+        # loss flags (scripts/train.sh live recipe)
+        task="interact", dataset="H2O", mode="train", batch_size=B,
+        reproj_loss=True, bone_loss=True, photometric_loss=False,
+        perceptual_loss=False, off=False, center_only=False, heatmaps=False,
+        gcn_decoder=False, discrepancy=False, avg_center=True,
+        brightness=True, center_weight=200.0, reproj_weight=1.0,
+        bone_dir_weight=200.0, wh_weight=20.0, off_weight=100.0,
+        input_res=384, size_train=[384, 384], down_ratio=4,
+        using_pca=False, num_pca_comps=45, num_stacks=1)
+
+
+def _torch_batch_from_synthetic(B, res=384, n=1024, seed=0):
+    """Build the train batch with pdfnet_tpu's synthetic generator (both
+    frameworks consume the identical numpy arrays; torch wants NCHW)."""
+    import torch
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from pdfnet_tpu.config import Config
+    from pdfnet_tpu.data.synthetic import make_batch
+
+    cfg = Config(default_resolution=res, sample_num=n, batch_size=B)
+    np_batch = make_batch(cfg, B, seed=seed)
+    np_batch["file_id"] = np.full((B,), 1, np.int64)  # skip the %100 vis dump
+
+    tb = {}
+    for k, v in np_batch.items():
+        a = np.asarray(v)
+        if k in ("input", "hm", "hms", "mask"):          # HWC -> CHW
+            a = a.transpose(0, 3, 1, 2)
+        if a.dtype == np.float64:
+            a = a.astype(np.float32)
+        tb[k] = torch.from_numpy(np.ascontiguousarray(a))
+    return np_batch, tb
+
+
+def record_train_trajectory(ref_root, steps, lr=1e-4, B=2, seed=0):
+    """Run N reference optimizer steps (torch-cpu, dropout off, fixed batch)
+    and record the loss trajectory + parameter probes.
+
+    Mirrors main.py:63 (Adam) + base_trainer.py:90 (loss params added),
+    :125-150 (run_epoch: forward, .mean(), backward, step); epoch=30 so the
+    alpha-gated edge/joints2d terms are active (simplified.py:608-650).
+    """
+    import torch
+    from types import SimpleNamespace  # noqa: F401  (opt namespace)
+
+    torch.manual_seed(0)
+    opt = _train_opt(B)
+    from lib.models.networks.intaghand_model import load_model_intag
+    model = load_model_intag(opt)
+    for m in model.modules():                 # determinism: dropout off
+        if isinstance(m, torch.nn.Dropout):
+            m.p = 0.0
+    model.train()
+
+    from lib.models.hand3d.Mano_render import ManoRender
+    from lib.trains.simplified import CtdetLoss
+    render = ManoRender(opt)
+    loss_mod = CtdetLoss(opt, render)
+
+    sd0 = {k: v.detach().cpu().numpy().copy()
+           for k, v in model.state_dict().items()}
+    np_batch, tb = _torch_batch_from_synthetic(B, seed=seed)
+
+    params = list(model.parameters()) + list(loss_mod.parameters())
+    optim = torch.optim.Adam(params, lr)
+
+    epoch = 30
+    losses, stats_hist = [], []
+    for _ in range(steps):
+        result, paramsDict, handDictList, otherInfo = model(
+            tb["input"], tb["choose"], tb["cloud"], tb["depth"], tb["ind"],
+            tb["K_new"], tb["valid"])
+        loss, loss_stats, _, _ = loss_mod(result, paramsDict, handDictList,
+                                          otherInfo, tb, "train", epoch)
+        loss = loss.mean()
+        optim.zero_grad()
+        loss.backward()
+        optim.step()
+        losses.append(float(loss.detach()))
+        stats_hist.append({k: float(torch.as_tensor(v).float().mean())
+                           for k, v in loss_stats.items()})
+        print(f"torch step {len(losses)}: loss={losses[-1]:.6f}")
+
+    out = dict(losses=np.asarray(losses, np.float64), lr=lr, epoch=epoch,
+               steps=steps, seed=seed, B=B)
+    for i, st in enumerate(stats_hist):
+        for k, v in st.items():
+            out[f"stat_{i}_{k}"] = v
+    np.savez(os.path.join(OUT_DIR, "train_traj.npz"), **out)
+    np.savez(os.path.join(OUT_DIR, "train_batch.npz"), **np_batch)
+    np.savez(os.path.join(OUT_DIR, "train_state_dict.npz"), **sd0)
+    sdf = {k: v.detach().cpu().numpy() for k, v in model.state_dict().items()}
+    np.savez(os.path.join(OUT_DIR, "train_state_dict_final.npz"), **sdf)
+    print(f"wrote train trajectory ({steps} steps) to {OUT_DIR}")
 
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--ref", default="/root/reference")
+    ap.add_argument("--train_steps", type=int, default=0,
+                    help="also record an N-step training trajectory")
+    ap.add_argument("--train_only", action="store_true")
     args = ap.parse_args()
     os.makedirs(OUT_DIR, exist_ok=True)
 
     import torch
     install_shims(args.ref)
+    _install_chumpy_stub()
+    if args.train_steps:
+        record_train_trajectory(args.ref, args.train_steps)
+        if args.train_only:
+            return
     from types import SimpleNamespace
     opt = SimpleNamespace(
         heads={"hm": 2, "wh": 2, "params": 122}, depth=True, iterations=False,
