@@ -20,8 +20,9 @@ def main():
     ap.add_argument("--iters", type=int, default=60)
     ap.add_argument("--warmup", type=int, default=3)
     ap.add_argument("--res", type=int, default=384)
-    ap.add_argument("--knn", default="pallas_fused",
-                    choices=["topk", "approx", "pallas", "pallas_fused"])
+    ap.add_argument("--knn", default="pallas_sa",
+                    choices=["topk", "approx", "pallas", "pallas_fused",
+                             "pallas_sa"])
     ap.add_argument("--self_contained", action="store_true",
                     help="bench the single-pass RGB-D serving path "
                          "(infer_rgbd: no host clouds, mask->cloud in-graph)")
@@ -31,7 +32,8 @@ def main():
     args = ap.parse_args()
 
     import jax
-    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    from pdfnet_tpu.utils.cache import host_cache_dir
+    jax.config.update("jax_compilation_cache_dir", host_cache_dir())
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
     from pdfnet_tpu.config import Config

@@ -106,7 +106,10 @@ class Config:
     ball_radius: float = 0.015        # squared radius, level 1
     ball_radius2: float = 0.04        # squared radius, level 2
     sample_strategy: str = "random"   # random | FPS
-    knn_method: str = "pallas_fused"  # topk | approx | pallas | pallas_fused
+    # topk | approx | pallas | pallas_fused | pallas_sa
+    # pallas_sa additionally fuses the per-level MLP + max-pool into the
+    # grouping kernel at eval (training always uses the pallas_fused path).
+    knn_method: str = "pallas_sa"
     # compute non-hm CenterNet heads only at the 2 hand centers via gathered
     # 3x3 patches (exact; ret[head] becomes (B, 2, C) instead of a full map)
     patch_heads: bool = False
@@ -122,6 +125,10 @@ class Config:
     num_attn_heads: int = 4
     dropout: float = 0.05
     use_img_attn: bool = False        # img_ex constructed but unused in ref fwd
+    # eval-only: vmap each level's left/right GraphLayer pair (and the
+    # InterAttn per-hand blocks) over a stacked hand axis — identical math,
+    # about half the op count on the tiny HBM-bound decoder tensors
+    stacked_decoder: bool = True
 
     # ---- data -------------------------------------------------------------
     cache_path: str = "data"

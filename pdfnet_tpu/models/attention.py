@@ -67,13 +67,34 @@ class InterAttn(nn.Module):
     n_heads: int = 4
     dropout: float = 0.1
     dtype: Dtype = jnp.float32
+    stack_hands: bool = False
+
+    @staticmethod
+    def _stacked_pair(ml, mr, xl, xr):
+        """Run two same-structure (different-weight) per-hand modules as one
+        vmapped apply over a stacked hand axis.  Eval-only (no dropout rng);
+        the dummy calls materialize the params and XLA drops their results."""
+        _ = ml(xl[:1], False)
+        _ = mr(xr[:1], False)
+        stacked = jax.tree.map(lambda a, b: jnp.stack([a, b]),
+                               ml.variables["params"], mr.variables["params"])
+        tmpl = ml.clone(parent=None)
+        ys = jax.vmap(lambda p, x: tmpl.apply({"params": p}, x, False))(
+            stacked, jnp.stack([xl, xr]))
+        return ys[0], ys[1]
 
     @nn.compact
     def __call__(self, Lf, Rf, train: bool):
-        Lf = SelfAttn(self.f_dim, self.n_heads, self.dropout, self.dtype,
-                      name="self_L")(Lf, train)
-        Rf = SelfAttn(self.f_dim, self.n_heads, self.dropout, self.dtype,
-                      name="self_R")(Rf, train)
+        sl = SelfAttn(self.f_dim, self.n_heads, self.dropout, self.dtype,
+                      name="self_L")
+        sr = SelfAttn(self.f_dim, self.n_heads, self.dropout, self.dtype,
+                      name="self_R")
+        fuse = not train and self.stack_hands
+        if fuse:
+            Lf, Rf = self._stacked_pair(sl, sr, Lf, Rf)
+        else:
+            Lf = sl(Lf, train)
+            Rf = sr(Rf, train)
 
         d_q = self.f_dim // self.n_heads
         wq = nn.Dense(self.n_heads * d_q, dtype=self.dtype, name="wq")
@@ -85,8 +106,17 @@ class InterAttn(nn.Module):
 
         L2 = nn.LayerNorm(epsilon=1e-6, name="ln_L")(Lf)
         R2 = nn.LayerNorm(epsilon=1e-6, name="ln_R")(Rf)
-        Lq, Lk, Lv = (_split_heads(w(L2), self.n_heads) for w in (wq, wk, wv))
-        Rq, Rk, Rv = (_split_heads(w(R2), self.n_heads) for w in (wq, wk, wv))
+        if fuse:
+            # shared projections: one Dense over both hands (batch-concat)
+            B = L2.shape[0]
+            X2 = jnp.concatenate([L2, R2], axis=0)
+            Q, K, V = (_split_heads(w(X2), self.n_heads) for w in (wq, wk, wv))
+            (Lq, Rq), (Lk, Rk), (Lv, Rv) = ((t[:B], t[B:]) for t in (Q, K, V))
+        else:
+            Lq, Lk, Lv = (_split_heads(w(L2), self.n_heads)
+                          for w in (wq, wk, wv))
+            Rq, Rk, Rv = (_split_heads(w(R2), self.n_heads)
+                          for w in (wq, wk, wv))
 
         def cross(q, k, v):
             a = jnp.einsum("bhqd,bhkd->bhqk", q, k) / (d_q ** 0.5)
@@ -97,11 +127,11 @@ class InterAttn(nn.Module):
         # reference: feat_R2L flows into the left hand.
         feat_R2L = cross(Lq, Rk, Rv)
         feat_L2R = cross(Rq, Lk, Lv)
-        Lf = MLPResBlock(self.f_dim, self.dropout, self.dtype, name="ffL")(
-            Lf + feat_R2L, train)
-        Rf = MLPResBlock(self.f_dim, self.dropout, self.dtype, name="ffR")(
-            Rf + feat_L2R, train)
-        return Lf, Rf
+        fl = MLPResBlock(self.f_dim, self.dropout, self.dtype, name="ffL")
+        fr = MLPResBlock(self.f_dim, self.dropout, self.dtype, name="ffR")
+        if fuse:
+            return self._stacked_pair(fl, fr, Lf + feat_R2L, Rf + feat_L2R)
+        return fl(Lf + feat_R2L, train), fr(Rf + feat_L2R, train)
 
 
 class ImgAttn(nn.Module):

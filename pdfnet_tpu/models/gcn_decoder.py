@@ -52,8 +52,9 @@ class GCNResBlock(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, train: bool):
-        L = jnp.asarray(self.graph_L)
+    def __call__(self, x, train: bool, L=None):
+        if L is None:
+            L = jnp.asarray(self.graph_L)
         y = cheb_basis(x, L, self.graph_k)
         y = nn.Dense(self.out_dim, dtype=self.dtype, name="fc1")(y)
         y = nn.relu(nn.LayerNorm(epsilon=1e-6, name="norm2")(y))
@@ -73,10 +74,11 @@ class GraphLayer(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, train: bool):
+    def __call__(self, x, train: bool, L=None):
         for i in range(self.num_blocks):
             x = GCNResBlock(self.out_dim, self.graph_L, self.graph_k,
-                            self.dropout, self.dtype, name=f"block{i}")(x, train)
+                            self.dropout, self.dtype,
+                            name=f"block{i}")(x, train, L)
             if i != self.num_blocks - 1:
                 x = nn.relu(x)
         return x
@@ -99,6 +101,7 @@ class DualGraphLayer(nn.Module):
     n_heads: int = 4
     dropout: float = 0.05
     use_img_attn: bool = False
+    stack_hands: bool = True
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -107,12 +110,34 @@ class DualGraphLayer(nn.Module):
         pos = nn.Embed(V, self.in_dim, name="pos_emb")(jnp.arange(V))
         Lf = Lf + pos[None]
         Rf = Rf + pos[None]
-        Lf = GraphLayer(self.out_dim, self.graph_L_left, self.graph_k,
+        gl = GraphLayer(self.out_dim, self.graph_L_left, self.graph_k,
                         self.num_blocks, self.dropout, self.dtype,
-                        name="graph_left")(Lf, train)
-        Rf = GraphLayer(self.out_dim, self.graph_L_right, self.graph_k,
+                        name="graph_left")
+        gr = GraphLayer(self.out_dim, self.graph_L_right, self.graph_k,
                         self.num_blocks, self.dropout, self.dtype,
-                        name="graph_right")(Rf, train)
+                        name="graph_right")
+        if not train and self.stack_hands:
+            # Eval fast path: the two hands' GraphLayers share structure but
+            # not weights, so stack their parameter trees on a leading hand
+            # axis and vmap ONE apply over it — every Dense/cheb matmul in
+            # the 2x4 res-block chain becomes a single batched op (the
+            # ~halved op count matters: these are tiny HBM-bound tensors).
+            # Identical math; training keeps per-hand modules (dropout rng).
+            _ = gl(Lf[:1], False)          # materialize params; XLA drops
+            _ = gr(Rf[:1], False)          # the unused results
+            stacked = jax.tree.map(lambda a, b: jnp.stack([a, b]),
+                                   gl.variables["params"],
+                                   gr.variables["params"])
+            Ls = jnp.stack([jnp.asarray(self.graph_L_left, jnp.float32),
+                            jnp.asarray(self.graph_L_right, jnp.float32)])
+            tmpl = gl.clone(parent=None)
+            ys = jax.vmap(lambda p, L, x: tmpl.apply({"params": p}, x,
+                                                     False, L))(
+                stacked, Ls, jnp.stack([Lf, Rf]))
+            Lf, Rf = ys[0], ys[1]
+        else:
+            Lf = gl(Lf, train)
+            Rf = gr(Rf, train)
         if self.use_img_attn:
             Lf = ImgAttn(self.img_size, self.img_f_dim, self.grid_size,
                          self.grid_f_dim, self.out_dim, self.n_heads,
@@ -123,7 +148,8 @@ class DualGraphLayer(nn.Module):
                          self.dropout, self.dtype,
                          name="img_ex_right")(img_f, Rf, train)
         return InterAttn(self.out_dim, self.n_heads, self.dropout,
-                         self.dtype, name="inter_attn")(Lf, Rf, train)
+                         self.dtype, stack_hands=self.stack_hands,
+                         name="inter_attn")(Lf, Rf, train)
 
 
 class MeshDecoder(nn.Module):
@@ -141,6 +167,7 @@ class MeshDecoder(nn.Module):
     n_heads: int = 4
     dropout: float = 0.05
     use_img_attn: bool = False
+    stack_hands: bool = True
     img_size_px: int = 384
     dtype: Dtype = jnp.float32
 
@@ -172,7 +199,8 @@ class MeshDecoder(nn.Module):
                 img_size=self.img_sizes[i], img_f_dim=self.img_f_dims[i],
                 grid_size=self.grid_sizes[i], grid_f_dim=self.grid_f_dims[i],
                 n_heads=self.n_heads, dropout=self.dropout,
-                use_img_attn=self.use_img_attn, dtype=self.dtype,
+                use_img_attn=self.use_img_attn,
+                stack_hands=self.stack_hands, dtype=self.dtype,
                 name=f"level{i}")
             for i in range(3)
         ]

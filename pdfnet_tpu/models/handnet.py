@@ -93,7 +93,9 @@ class HandNet(nn.Module):
                        cfg.default_resolution // 8),
             graph_k=cfg.graph_k, num_blocks=cfg.graph_layer_num,
             n_heads=cfg.num_attn_heads, dropout=cfg.dropout,
-            use_img_attn=cfg.use_img_attn, img_size_px=cfg.default_resolution,
+            use_img_attn=cfg.use_img_attn,
+            stack_hands=cfg.stacked_decoder,
+            img_size_px=cfg.default_resolution,
             name="decoder")
         result, params, hand_dicts, other = decoder(
             gf_left.astype(jnp.float32), gf_right.astype(jnp.float32),

@@ -70,7 +70,7 @@ def knn_ball_query(
       valid: (B, S, K) bool, False where the substitution happened.
     """
     S = centers_xyz.shape[1]
-    if method == "pallas_fused":
+    if method in ("pallas_fused", "pallas_sa"):
         method = "pallas"          # same selection; fusion applies upstream
     if method == "pallas":
         from pdfnet_tpu.ops.pallas_knn import TILE_S
@@ -139,7 +139,7 @@ def group_points(
     """
     centers = points[:, :num_centers, :3]
     from pdfnet_tpu.ops.pallas_knn import TILE_S
-    if (knn_method == "pallas_fused" and points.shape[-1] == 3
+    if (knn_method in ("pallas_fused", "pallas_sa") and points.shape[-1] == 3
             and num_centers % TILE_S == 0
             and (jax.default_backend() == "tpu" or _FUSED_INTERPRET)):
         # Fully fused selection+gather+center-subtract: ~2% slower than
@@ -247,7 +247,7 @@ def group_points_level2(
     """
     centers = feat[:, :num_centers, :3]
     from pdfnet_tpu.ops.pallas_knn import TILE_S
-    if (knn_method == "pallas_fused" and num_centers % TILE_S == 0
+    if (knn_method in ("pallas_fused", "pallas_sa") and num_centers % TILE_S == 0
             and (jax.default_backend() == "tpu" or _FUSED_INTERPRET)):
         grouped = _fused_group_feat_pallas(feat, k, num_centers, radius2)
         return grouped, centers

@@ -154,6 +154,178 @@ def _knn_gather_feat_kernel(xyz_ref, cxyz_ref, feat_ref, centers_ref,
         dcur = jnp.where(sel, jnp.inf, dcur)
 
 
+def _mlp_folded(h, weights, biases, compute_dtype):
+    """(M, C_in) -> (M, C_out): (dot -> +bias -> relu) per layer.
+
+    ``weights``/``biases`` are the BN-folded Dense parameters (BatchNorm in
+    running-average mode is a per-channel affine, absorbed into the matmul).
+    Matmuls run in ``compute_dtype`` (bf16 on TPU, mirroring the unfused
+    PointMLP's Dense dtype); bias-add + relu stay f32 like the unfused BN.
+    """
+    for wr, br in zip(weights, biases):
+        h = jnp.dot(h.astype(compute_dtype), wr[...].astype(compute_dtype),
+                    preferred_element_type=jnp.float32)
+        h = jnp.maximum(h + br[0], 0.0)
+    return h
+
+
+def _knn_gather_block_kernel(points_ref, centers_ref, pts_nx3_ref, out_ref,
+                             *, k: int, n_points: int, radius2: float):
+    """Level-1 grouping emitted as one (k, TILE_S, 3) block: selection,
+    centered-xyz gather, and ball-query zeroing (out-of-ball neighbors are
+    the center itself, so their centered coordinates are exactly zero)."""
+    dx, dy, dz = _coords(points_ref, centers_ref)
+    d = dx * dx + dy * dy + dz * dz
+    cx = centers_ref[0, 0, :]
+    cy = centers_ref[0, 1, :]
+    cz = centers_ref[0, 2, :]
+    pts = pts_nx3_ref[0]                       # (N, 3) f32
+
+    col = jax.lax.broadcasted_iota(jnp.int32, d.shape, 1)
+    dcur = d
+    for j in range(k):
+        m = jnp.min(dcur, axis=1)
+        is_min = dcur == m[:, None]
+        arg = jnp.min(jnp.where(is_min, col, n_points), axis=1)
+        sel = col == arg[:, None]
+        g = jnp.dot(sel.astype(jnp.float32), pts,
+                    preferred_element_type=jnp.float32)   # (TILE_S, 3)
+        lane3 = jax.lax.broadcasted_iota(jnp.int32, g.shape, 1)
+        sub = (jnp.where(lane3 == 0, cx[:, None], 0.0) +
+               jnp.where(lane3 == 1, cy[:, None], 0.0) +
+               jnp.where(lane3 == 2, cz[:, None], 0.0))
+        out_ref[0, j] = jnp.where((m <= radius2)[:, None], g - sub, 0.0)
+        dcur = jnp.where(sel, jnp.inf, dcur)
+
+
+def _mlpmax_feat_kernel(g_ref, w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref,
+                        out_ref, *, compute_dtype, mlp_chunk: int):
+    """(k, TILE_S, C) gathered neighborhoods (ball-query substitution already
+    applied by the gather kernel) -> (TILE_S, F) pooled features."""
+    k, tile_s, C = g_ref.shape[1:]
+    weights = (w1_ref, w2_ref, w3_ref)
+    biases = (b1_ref, b2_ref, b3_ref)
+    acc = None
+    for c0 in range(0, k, mlp_chunk):
+        Gc = g_ref[0, c0:c0 + mlp_chunk].reshape(mlp_chunk * tile_s, C)
+        h = _mlp_folded(Gc, weights, biases, compute_dtype)
+        m = jnp.max(h.reshape(mlp_chunk, tile_s, -1), axis=0)
+        acc = m if acc is None else jnp.maximum(acc, m)
+    out_ref[0] = acc
+
+
+def _weight_specs(ws, bs):
+    specs, ops = [], []
+    for w, b in zip(ws, bs):
+        specs.append(pl.BlockSpec(w.shape, lambda b_, s_: (0, 0),
+                                  memory_space=pltpu.VMEM))
+        specs.append(pl.BlockSpec((1, b.shape[0]), lambda b_, s_: (0, 0),
+                                  memory_space=pltpu.VMEM))
+        ops.extend([w, b[None, :]])
+    # interleave (w, b) pairs in call order w1 b1 w2 b2 w3 b3
+    return specs, ops
+
+
+@functools.partial(jax.jit, static_argnames=("k", "num_centers", "radius2",
+                                             "interpret"))
+def sa_level1_pallas(points: jax.Array, folded, k: int, num_centers: int,
+                     radius2: float, interpret: bool = False) -> jax.Array:
+    """Fused level-1 set abstraction over raw (possibly SFT-conditioned) xyz.
+
+    Args:
+      points: (B, N, 3) f32; the first ``num_centers`` rows are the centers.
+      folded: ((W1, b1), (W2, b2), (W3, b3)) BN-folded MLP parameters.
+
+    Returns:
+      (B, num_centers, F3) f32 max-pooled neighborhood features (the
+      ``jnp.max(PointMLP(grouped), axis=2)`` of the unfused path).
+    """
+    B, N, _ = points.shape
+    S = num_centers
+    assert S % TILE_S == 0, f"num_centers={S} must be a multiple of {TILE_S}"
+    ws = [w for w, _ in folded]
+    bs = [b for _, b in folded]
+    F = ws[-1].shape[-1]
+    cdt = jnp.float32 if interpret else jnp.bfloat16
+    centers = points[:, :S, :]
+    # Stage 1: selection + centered-xyz gather + ball-query zeroing, in the
+    # kernel's native (B, k, S, 3) layout (no transposes).
+    grouped = pl.pallas_call(
+        functools.partial(_knn_gather_block_kernel, k=k, n_points=N,
+                          radius2=radius2),
+        grid=(B, S // TILE_S),
+        in_specs=[
+            pl.BlockSpec((1, 3, N), lambda b, s: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3, TILE_S), lambda b, s: (b, 0, s),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, N, 3), lambda b, s: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, k, TILE_S, 3), lambda b, s: (b, 0, s, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, k, S, 3), jnp.float32),
+        interpret=interpret,
+    )(points.transpose(0, 2, 1), centers.transpose(0, 2, 1), points)
+    wspecs, wops = _weight_specs(ws, bs)
+    mlp_chunk = min(16, k)
+    assert k % mlp_chunk == 0
+    # Stage 2: folded MLP + max-pool; the (S, K, F) MLP intermediates never
+    # touch HBM.
+    return pl.pallas_call(
+        functools.partial(_mlpmax_feat_kernel, compute_dtype=cdt,
+                          mlp_chunk=mlp_chunk),
+        grid=(B, S // TILE_S),
+        in_specs=[pl.BlockSpec((1, k, TILE_S, 3), lambda b, s: (b, 0, s, 0),
+                               memory_space=pltpu.VMEM)] + wspecs,
+        out_specs=pl.BlockSpec((1, TILE_S, F), lambda b, s: (b, s, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, S, F), jnp.float32),
+        interpret=interpret,
+    )(grouped, *wops)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "num_centers", "radius2",
+                                             "interpret"))
+def sa_level2_pallas(feat: jax.Array, folded, k: int, num_centers: int,
+                     radius2: float, interpret: bool = False) -> jax.Array:
+    """Fused level-2 set abstraction over abstracted points.
+
+    Args:
+      feat: (B, N, C) with xyz in the first 3 channels (f32 recommended).
+      folded: BN-folded MLP parameters as in :func:`sa_level1_pallas`.
+
+    Returns:
+      (B, num_centers, F3) f32 pooled features.
+    """
+    B, N, C = feat.shape
+    S = num_centers
+    assert S % TILE_S == 0, f"num_centers={S} must be a multiple of {TILE_S}"
+    ws = [w for w, _ in folded]
+    bs = [b for _, b in folded]
+    F = ws[-1].shape[-1]
+    cdt = jnp.float32 if interpret else jnp.bfloat16
+    fin = feat if interpret else feat.astype(jnp.bfloat16)
+    # Stage 1: selection + full-row gather + ball-query substitution, kept
+    # in the kernel's native (B, k, S, C) layout (no transpose copy).
+    grouped, _, _ = _group_feat_raw(fin, k, S, radius2, interpret)
+    wspecs, wops = _weight_specs(ws, bs)
+    mlp_chunk = min(16, k)
+    assert k % mlp_chunk == 0
+    # Stage 2: folded MLP + max-pool over the k neighbors.
+    return pl.pallas_call(
+        functools.partial(_mlpmax_feat_kernel, compute_dtype=cdt,
+                          mlp_chunk=mlp_chunk),
+        grid=(B, S // TILE_S),
+        in_specs=[pl.BlockSpec((1, k, TILE_S, C), lambda b, s: (b, 0, s, 0),
+                               memory_space=pltpu.VMEM)] + wspecs,
+        out_specs=pl.BlockSpec((1, TILE_S, F), lambda b, s: (b, s, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, S, F), jnp.float32),
+        interpret=interpret,
+    )(grouped, *wops)
+
+
 @functools.partial(jax.jit, static_argnames=("k", "radius2", "num_centers",
                                              "interpret"))
 def group_feat_pallas(feat: jax.Array, k: int, num_centers: int,
@@ -164,13 +336,24 @@ def group_feat_pallas(feat: jax.Array, k: int, num_centers: int,
     Returns (grouped (B, S, K, C) ball-query-substituted center-relative
     neighborhoods, idx (B, S, K) raw knn indices, valid (B, S, K)).
     """
+    grouped, idx, dist = _group_feat_raw(feat, k, num_centers, radius2,
+                                         interpret)
+    valid = dist <= radius2
+    return (grouped.transpose(0, 2, 1, 3), idx.transpose(0, 2, 1),
+            valid.transpose(0, 2, 1))
+
+
+def _group_feat_raw(feat: jax.Array, k: int, num_centers: int,
+                    radius2: float, interpret: bool = False):
+    """Level-2 grouping kernel in its native layout: returns
+    (grouped (B, k, S, C), idx (B, k, S), dist (B, k, S))."""
     B, N, C = feat.shape
     S = num_centers
     assert S % TILE_S == 0, f"num_centers={S} must be a multiple of {TILE_S}"
     xyz_t = feat[..., :3].astype(jnp.float32).transpose(0, 2, 1)  # (B, 3, N)
     out_spec2 = pl.BlockSpec((1, k, TILE_S), lambda b, s: (b, 0, s),
                              memory_space=pltpu.VMEM)
-    grouped, idx, dist = pl.pallas_call(
+    return pl.pallas_call(
         functools.partial(_knn_gather_feat_kernel, k=k, n_points=N,
                           radius2=radius2),
         grid=(B, S // TILE_S),
@@ -196,9 +379,6 @@ def group_feat_pallas(feat: jax.Array, k: int, num_centers: int,
         ],
         interpret=interpret,
     )(xyz_t, xyz_t[:, :, :S], feat, feat[:, :S])
-    valid = dist <= radius2
-    return (grouped.transpose(0, 2, 1, 3), idx.transpose(0, 2, 1),
-            valid.transpose(0, 2, 1))
 
 
 def _call(kernel, n_outputs, centers, points, k, interpret,

@@ -2,7 +2,7 @@
 
 Instantiates the reference HandNET_GCN (torch-cpu, with torchvision/chumpy
 shims), runs one eval forward on fixed random inputs, and saves the
-state_dict + inputs + outputs to /tmp/pdfnet_parity/.  The parity test
+state_dict + inputs + outputs to .parity_fixtures/.  The parity test
 (tests/test_full_parity.py) converts the state_dict with
 pdfnet_tpu.utils.convert_torch and compares our forward against the
 recording.  Artifacts are large and machine-local — not committed.
@@ -17,7 +17,11 @@ import types
 
 import numpy as np
 
-OUT_DIR = "/tmp/pdfnet_parity"
+# repo-local by default so the fixtures survive VM swaps; not committed
+OUT_DIR = os.environ.get(
+    "PDFNET_PARITY_DIR",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                 ".parity_fixtures"))
 
 
 def install_shims(ref_root):
