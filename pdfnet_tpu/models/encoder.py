@@ -17,7 +17,7 @@ from pdfnet_tpu.models.layers import (CenterHead, ConvActBN, L2Norm,
                                       PyramidDecoder, SFTLayer, StridedUpConv)
 from pdfnet_tpu.models.pointnet import PointNetPlus
 from pdfnet_tpu.models.resnet import ResNet
-from pdfnet_tpu.ops.gather import gather_pixels
+from pdfnet_tpu.ops.gather import gather_patches
 from pdfnet_tpu.ops.heatmap import clamped_sigmoid, decode_centers
 from pdfnet_tpu.ops.resize import resize_bilinear_align_corners
 
@@ -123,15 +123,7 @@ class FPNEncoder(nn.Module):
                 jax.lax.stop_gradient(ret["hm"])))
 
         if self.patch_heads:
-            Hq0 = x0.shape[1]
-            x0p = jnp.pad(x0, ((0, 0), (1, 1), (1, 1), (0, 0)))
-            ys0 = (ind // Hq0).astype(jnp.int32)
-            xs0 = (ind % Hq0).astype(jnp.int32)
-            p3 = jax.vmap(
-                lambda img_b, yy, xx: jax.vmap(
-                    lambda y, x: jax.lax.dynamic_slice(
-                        img_b, (y, x, 0), (3, 3, gd)))(yy, xx)
-            )(x0p, ys0, xs0).reshape(B * 2, 3, 3, gd)
+            p3 = gather_patches(x0, ind, 3).reshape(B * 2, 3, 3, gd)
             for head, out_dim in sorted(self.heads.items()):
                 if is_hm(head):
                     continue
@@ -167,19 +159,8 @@ class FPNEncoder(nn.Module):
         # gathers 2 pixels (~54 GFLOP/img); convolving only the 5x5 input
         # patches around each center is mathematically identical (same
         # weights, VALID padding on the zero-padded map) at ~1/1800 the cost.
-        Hq = x0.shape[1]
-        x0_pad = jnp.pad(x0, ((0, 0), (2, 2), (2, 2), (0, 0)))
-        ys = (ind // Hq).astype(jnp.int32)                   # (B, 2)
-        xs = (ind % Hq).astype(jnp.int32)
-
-        def patch(img_b, y, x):
-            return jax.lax.dynamic_slice(img_b, (y, x, 0), (5, 5, gd))
-
-        patches = jax.vmap(
-            lambda img_b, yy, xx: jax.vmap(
-                lambda y, x: patch(img_b, y, x))(yy, xx)
-        )(x0_pad, ys, xs)                                    # (B, 2, 5, 5, gd)
-        p = patches.reshape(B * 2, 5, 5, gd)
+        # gather_patches slices the unpadded map (no 113 MB padded copy).
+        p = gather_patches(x0, ind, 5).reshape(B * 2, 5, 5, gd)
         up0 = nn.Conv(512, (3, 3), padding="VALID", use_bias=False,
                       dtype=self.dtype, name="center_up0")(p)
         up1 = nn.Conv(1024, (3, 3), padding="VALID", use_bias=False,

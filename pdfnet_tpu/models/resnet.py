@@ -24,9 +24,13 @@ class Bottleneck(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool):
+        # BN in the compute dtype: flax computes the statistics in f32
+        # internally, and a f32 BN output would force the whole residual
+        # stream (adds/relu between bf16 convs) to f32 -- 2x the HBM
+        # traffic on the biggest maps.  Exactly equal when compute=f32.
         norm = lambda name: nn.BatchNorm(
             use_running_average=not train, momentum=0.9, epsilon=1e-5,
-            dtype=jnp.float32, name=name)
+            dtype=self.dtype, name=name)
         conv = lambda f, k, s, name: nn.Conv(
             f, (k, k), strides=(s, s), padding=[(k // 2, k // 2)] * 2,
             use_bias=False, dtype=self.dtype, name=name)
@@ -52,9 +56,13 @@ class BasicBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool):
+        # BN in the compute dtype: flax computes the statistics in f32
+        # internally, and a f32 BN output would force the whole residual
+        # stream (adds/relu between bf16 convs) to f32 -- 2x the HBM
+        # traffic on the biggest maps.  Exactly equal when compute=f32.
         norm = lambda name: nn.BatchNorm(
             use_running_average=not train, momentum=0.9, epsilon=1e-5,
-            dtype=jnp.float32, name=name)
+            dtype=self.dtype, name=name)
         conv = lambda f, k, s, name: nn.Conv(
             f, (k, k), strides=(s, s), padding=[(k // 2, k // 2)] * 2,
             use_bias=False, dtype=self.dtype, name=name)
@@ -91,7 +99,7 @@ class ResNet(nn.Module):
                            padding=[(3, 3), (3, 3)], use_bias=False,
                            dtype=self.dtype, name="conv1")(x)
             stem = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                                epsilon=1e-5, dtype=jnp.float32,
+                                epsilon=1e-5, dtype=self.dtype,
                                 name="bn1")(stem)
             stem = nn.relu(stem)                          # (B, H/2, W/2, 64)
 

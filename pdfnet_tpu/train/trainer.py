@@ -214,7 +214,17 @@ class Trainer:
         seen = 0
         next_vis = 0
         for batch in batches:
-            jb = {k: jnp.asarray(v) for k, v in batch.items()}
+            # Shard the eval batch over the data mesh whenever it divides
+            # evenly (the reference evaluates on rank 0 only;
+            # GSPMD-parallel eval is free here since the state is already
+            # replicated).  Multi-process setups keep per-process arrays:
+            # every process runs the same replicated eval (trainer.fit).
+            bs = batch["input"].shape[0]
+            if jax.process_count() == 1 and bs % self.mesh.size == 0:
+                jb = mesh_lib.shard_batch(dict(batch), self.mesh,
+                                          self.cfg.data_axis)
+            else:
+                jb = {k: jnp.asarray(v) for k, v in batch.items()}
             out = self.eval_step(self.state.params, self.state.batch_stats, jb)
             host_out = jax.tree.map(np.asarray, out)
             # threshold-crossing check: fires once per vis_every samples for

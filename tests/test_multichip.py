@@ -115,6 +115,35 @@ def test_2d_mesh_train_step_matches_dp():
     assert int(new2.step) == 1
 
 
+def test_sharded_eval_matches_single_device():
+    """Trainer.evaluate shards eval batches over the data mesh (the
+    reference evaluates on rank 0 only); metrics must equal the 1-device
+    run including the padded tail sub-batch."""
+    from pdfnet_tpu.config import Config
+    from pdfnet_tpu.data.synthetic import SyntheticHandDataset
+    from pdfnet_tpu.train.trainer import Trainer
+
+    cfg = Config(default_resolution=64, compute_dtype="float32",
+                 sample_num=64, sample_num_level1=32, sample_num_level2=8,
+                 knn_k=8, batch_size=8, eval_batch_size=8)
+    data = SyntheticHandDataset(cfg, size=10, seed=3, train=False)
+    first = next(iter(data.batches(8)))
+
+    accs = []
+    for n_dev in (8, 1):
+        tr = Trainer(cfg, mesh=mesh_lib.make_mesh(n_dev))
+        tr.init_state(first, seed=11)
+        # 10 samples at bs=8 -> one full batch + a padded tail of 2
+        accs.append(tr.evaluate(data.batches(8)).result())
+    a8, a1 = accs
+    assert a8.keys() == a1.keys()
+    for k in a8:
+        # GSPMD sharding changes XLA's fusion/accumulation choices; f32
+        # forward outputs drift ~3e-5 relative between layouts
+        np.testing.assert_allclose(a8[k], a1[k], rtol=1e-4, atol=1e-5,
+                                   err_msg=k)
+
+
 def test_two_process_cpu_multihost_simulation():
     """Full multi-host wiring on one machine: 2 OS processes x 2 virtual CPU
     devices, jax.distributed rendezvous, loader striping, global-array

@@ -105,6 +105,28 @@ def test_gather_pixels():
             np.testing.assert_array_equal(out[b, k], flat[b, ind[b, k]])
 
 
+def test_gather_patches_matches_padded_slice():
+    """gather_patches == pad-the-whole-map + dynamic_slice, including
+    window centers at the map borders (zero padding outside)."""
+    from pdfnet_tpu.ops.gather import gather_patches
+    rng = np.random.RandomState(1)
+    H = W = 8
+    fmap = rng.randn(2, H, W, 6).astype(np.float32)
+    # corners, edges, interior
+    ind = np.array([[0, 7, 3 * W + 4], [H * W - 1, 2 * W, 5 * W + 7]], np.int64)
+    for size in (3, 5):
+        r = size // 2
+        out = np.asarray(gather_patches(jnp.asarray(fmap), jnp.asarray(ind),
+                                        size))
+        padded = np.pad(fmap, ((0, 0), (r, r), (r, r), (0, 0)))
+        for b in range(ind.shape[0]):
+            for k in range(ind.shape[1]):
+                y, x = divmod(ind[b, k], W)
+                ref = padded[b, y:y + size, x:x + size]
+                np.testing.assert_array_equal(out[b, k], ref,
+                                              err_msg=f"size={size} b={b} k={k}")
+
+
 def test_resize_align_corners_matches_torch():
     import torch
     import torch.nn.functional as F

@@ -25,6 +25,13 @@ OUT_DIR = os.environ.get(
 
 
 def install_shims(ref_root):
+    # numpy >= 1.24 removed the deprecated builtin aliases the reference
+    # still uses (np.int at simplified.py:527 runs on every train loss call);
+    # they were exact aliases, so restoring them changes no behavior
+    for alias, builtin in (("int", int), ("float", float), ("bool", bool),
+                           ("object", object)):
+        if not hasattr(np, alias):
+            setattr(np, alias, builtin)
     sys.path.insert(0, ref_root)
     # the reference's _init_paths.py prepends lib/ so `models.*`/`utils.*`
     # absolute imports resolve (base_trainer.py:10)

@@ -77,7 +77,8 @@ def main():
         shutil.rmtree(args.out)
 
     import jax
-    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    from pdfnet_tpu.utils.cache import host_cache_dir
+    jax.config.update("jax_compilation_cache_dir", host_cache_dir())
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
     from pdfnet_tpu.config import Config
