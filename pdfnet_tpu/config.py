@@ -96,6 +96,12 @@ class Config:
     # evaluated inside the compiled step (no host sync; the reference has
     # no guard and a NaN batch poisons the run)
     skip_nonfinite_updates: bool = False
+    # frozen-BN fine-tuning (flagship HandNet arch): BatchNorm layers
+    # normalize with their running statistics even at train time (standard
+    # detector fine-tuning practice; also the deterministic mode for
+    # cross-framework train parity — batch statistics at random init
+    # amplify f32 noise chaotically, see PARITY.md)
+    freeze_bn_stats: bool = False
 
     # ---- pointnet ---------------------------------------------------------
     sample_num: int = 1024            # SAMPLE_NUM

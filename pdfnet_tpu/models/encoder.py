@@ -42,6 +42,7 @@ class FPNEncoder(nn.Module):
     knn_method: str = "topk"
     gather_method: str = "take"
     patch_heads: bool = False         # non-hm heads only at the 2 centers
+    bn_frozen: bool = False           # frozen-BN fine-tuning: running stats
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -67,7 +68,8 @@ class FPNEncoder(nn.Module):
 
         gd = self.global_feature_dim
         B = img.shape[0]
-        norm = lambda name: nn.BatchNorm(use_running_average=not train,
+        bn_train = train and not self.bn_frozen
+        norm = lambda name: nn.BatchNorm(use_running_average=not bn_train,
                                          momentum=0.9, epsilon=1e-5,
                                          dtype=jnp.float32, name=name)
 
@@ -75,7 +77,9 @@ class FPNEncoder(nn.Module):
         pw_l0 = nn.relu(nn.Conv(3, (3, 3), padding=[(1, 1)] * 2, use_bias=False,
                                 dtype=self.dtype, name="e_conv1")(img))
 
-        stem, x4, x3, x2, x1 = ResNet(dtype=self.dtype, name="resnet")(img, train)
+        stem, x4, x3, x2, x1 = ResNet(bn_frozen=self.bn_frozen,
+                                      dtype=self.dtype,
+                                      name="resnet")(img, train)
         pw_l1 = stem                       # (B, H/2, W/2, 64)
 
         # FPN: project each stage to gd channels at H/4 (96 for 384 input).
@@ -134,10 +138,12 @@ class FPNEncoder(nn.Module):
         # Keypoint-heatmap and mask decoders from the 12x12 trunk feature.
         hms, hms_fmaps = PyramidDecoder(
             self.fmap_dim, self.heatmap_dim * self.hand_num, up_scale=False,
-            dtype=self.dtype, name="hms_decoder")(x1, train)
+            bn_frozen=self.bn_frozen, dtype=self.dtype,
+            name="hms_decoder")(x1, train)
         mask_out, dp_fmaps = PyramidDecoder(
             self.fmap_dim, self.hand_num, up_scale=True,
-            dtype=self.dtype, name="dp_decoder")(x1, train)
+            bn_frozen=self.bn_frozen, dtype=self.dtype,
+            name="dp_decoder")(x1, train)
         mask = mask_out                                      # (B, 384, 384, 2)
 
         if mode == "image":
@@ -174,8 +180,8 @@ class FPNEncoder(nn.Module):
             ball_radius2=self.ball_radius2,
             input_feature_num=self.input_feature_num,
             resolution=self.resolution, knn_method=self.knn_method,
-            gather_method=self.gather_method, dtype=self.dtype,
-            name="pointnet")
+            gather_method=self.gather_method, bn_frozen=self.bn_frozen,
+            dtype=self.dtype, name="pointnet")
         fuse = pointnet(cloud, pw_emb, choose, train)            # (B, 2, 1024)
 
         # SFT-condition the per-hand global point features on center features.
@@ -187,6 +193,7 @@ class MidFusion(nn.Module):
     split the fused point feature into per-hand global features."""
 
     out_dims: Tuple[int, ...] = (256, 256, 256, 256)
+    bn_frozen: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -199,6 +206,8 @@ class MidFusion(nn.Module):
             x = jnp.concatenate([hms_fmaps[i], dp_fmaps[i]], axis=-1)
             if i > 0:
                 x = jnp.concatenate([x, img_fmaps[i]], axis=-1)
-            fmaps.append(ConvActBN(out_dim, kernel=1, dtype=self.dtype,
+            fmaps.append(ConvActBN(out_dim, kernel=1,
+                                   bn_frozen=self.bn_frozen,
+                                   dtype=self.dtype,
                                    name=f"conv{i}")(x, train))
         return gf_left, gf_right, fmaps

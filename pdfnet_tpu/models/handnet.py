@@ -52,7 +52,8 @@ class HandNet(nn.Module):
             ball_radius=cfg.ball_radius, ball_radius2=cfg.ball_radius2,
             input_feature_num=cfg.input_feature_num,
             knn_method=cfg.knn_method, gather_method=cfg.gather_method,
-            patch_heads=cfg.patch_heads, dtype=dtype, name="encoder")
+            patch_heads=cfg.patch_heads, bn_frozen=cfg.freeze_bn_stats,
+            dtype=dtype, name="encoder")
 
         if choose is None or cloud is None:
             # Self-contained RGB-D path (the reference's in-forward depth2pcl
@@ -79,7 +80,8 @@ class HandNet(nn.Module):
             (hms, mask, ret, ind_used, img_fmaps, hms_fmaps, dp_fmaps,
              _pw) = encoder(img, cloud.astype(jnp.float32), choose, ind, train)
 
-        mid = MidFusion(out_dims=tuple(cfg.deconv_dims), dtype=dtype,
+        mid = MidFusion(out_dims=tuple(cfg.deconv_dims),
+                        bn_frozen=cfg.freeze_bn_stats, dtype=dtype,
                         name="mid")
         gf_left, gf_right, fmaps = mid(img_fmaps, hms_fmaps, dp_fmaps, train)
 

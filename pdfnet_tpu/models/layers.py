@@ -95,10 +95,12 @@ class ConvActBN(nn.Module):
     features: int
     kernel: int = 1
     stride: int = 1
+    bn_frozen: bool = False           # frozen-BN fine-tuning: running stats
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool):
+        train = train and not self.bn_frozen
         k = self.kernel
         y = nn.Conv(self.features, (k, k), strides=(self.stride,) * 2,
                     padding=[(k // 2, k // 2)] * 2, use_bias=False,
@@ -119,10 +121,12 @@ class PyramidDecoder(nn.Module):
     fdim: int = 128
     out_dim: int = 42
     up_scale: bool = False
+    bn_frozen: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool) -> Tuple[jax.Array, List[jax.Array]]:
+        train = train and not self.bn_frozen
         fmaps = []
         directions = ("flat", "up", "up", "up")
         for i, d in enumerate(directions):

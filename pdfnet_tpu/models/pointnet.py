@@ -36,10 +36,12 @@ class PointMLP(nn.Module):
     """Per-point MLP: (Dense -> BatchNorm -> relu) x len(features)."""
 
     features: Sequence[int]
+    bn_frozen: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool):
+        train = train and not self.bn_frozen
         for i, f in enumerate(self.features):
             x = nn.Dense(f, dtype=self.dtype, name=f"fc{i}")(x)
             x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
@@ -85,6 +87,7 @@ class PointNetPlus(nn.Module):
     resolution: int = 384
     knn_method: str = "topk"
     gather_method: str = "take"
+    bn_frozen: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -111,8 +114,8 @@ class PointNetPlus(nn.Module):
             emb[2], c_quart[:, :, :self.num_level2].reshape(B, -1))
         pw_l2 = fold(pw_l2.reshape(B, H, self.num_level2, -1))      # (BH,128,256)
 
-        mlp1 = PointMLP(LEVEL1_MLP, self.dtype, name="mlp1")
-        mlp2 = PointMLP(LEVEL2_MLP, self.dtype, name="mlp2")
+        mlp1 = PointMLP(LEVEL1_MLP, self.bn_frozen, self.dtype, name="mlp1")
+        mlp2 = PointMLP(LEVEL2_MLP, self.bn_frozen, self.dtype, name="mlp2")
 
         from pdfnet_tpu.ops.pallas_knn import TILE_S
         # Fully-fused eval path: selection + gather + BN-folded MLP +
@@ -167,6 +170,7 @@ class PointNetPlus(nn.Module):
         x = SFTLayer(emb[2].shape[-1], x.shape[-1], self.dtype,
                      name="sft2")(x, pw_l2)
 
-        x = PointMLP(LEVEL3_MLP, self.dtype, name="mlp3")(x, train)
+        x = PointMLP(LEVEL3_MLP, self.bn_frozen, self.dtype,
+                     name="mlp3")(x, train)
         x = jnp.max(x, axis=1)                                      # (BH, 1024)
         return x.reshape(B, H, -1)

@@ -20,10 +20,12 @@ class Bottleneck(nn.Module):
     width: int
     stride: int = 1
     project: bool = False
+    bn_frozen: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool):
+        train = train and not self.bn_frozen
         # BN in the compute dtype: flax computes the statistics in f32
         # internally, and a f32 BN output would force the whole residual
         # stream (adds/relu between bf16 convs) to f32 -- 2x the HBM
@@ -52,10 +54,12 @@ class BasicBlock(nn.Module):
     width: int
     stride: int = 1
     project: bool = False
+    bn_frozen: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool):
+        train = train and not self.bn_frozen
         # BN in the compute dtype: flax computes the statistics in f32
         # internally, and a f32 BN output would force the whole residual
         # stream (adds/relu between bf16 convs) to f32 -- 2x the HBM
@@ -88,18 +92,20 @@ class ResNet(nn.Module):
     stage_sizes: Sequence[int] = (3, 4, 6, 3)
     block: str = "bottleneck"         # bottleneck | basic
     skip_stem: bool = False
+    bn_frozen: bool = False           # frozen-BN fine-tuning: running stats
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool) -> Tuple[jax.Array, ...]:
+        bn_train = train and not self.bn_frozen
         if self.skip_stem:
             stem = x
         else:
             stem = nn.Conv(64, (7, 7), strides=(2, 2),
                            padding=[(3, 3), (3, 3)], use_bias=False,
                            dtype=self.dtype, name="conv1")(x)
-            stem = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                                epsilon=1e-5, dtype=self.dtype,
+            stem = nn.BatchNorm(use_running_average=not bn_train,
+                                momentum=0.9, epsilon=1e-5, dtype=self.dtype,
                                 name="bn1")(stem)
             stem = nn.relu(stem)                          # (B, H/2, W/2, 64)
 
@@ -113,7 +119,8 @@ class ResNet(nn.Module):
                 project = (b == 0) if not basic else (b == 0 and i > 0)
                 cls = BasicBlock if basic else Bottleneck
                 y = cls(width=w, stride=stride, project=project,
-                        dtype=self.dtype, name=f"layer{i + 1}_{b}")(y, train)
+                        bn_frozen=self.bn_frozen, dtype=self.dtype,
+                        name=f"layer{i + 1}_{b}")(y, train)
             outs.append(y)
         # stem (pre-maxpool), layer1..layer4
         return (stem, *outs)

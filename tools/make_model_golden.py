@@ -167,7 +167,8 @@ def _torch_batch_from_synthetic(B, res=384, n=1024, seed=0):
     return np_batch, tb
 
 
-def record_train_trajectory(ref_root, steps, lr=1e-4, B=2, seed=0):
+def record_train_trajectory(ref_root, steps, lr=1e-4, B=2, seed=0,
+                            freeze_bn=False):
     """Run N reference optimizer steps (torch-cpu, dropout off, fixed batch)
     and record the loss trajectory + parameter probes.
 
@@ -186,6 +187,16 @@ def record_train_trajectory(ref_root, steps, lr=1e-4, B=2, seed=0):
         if isinstance(m, torch.nn.Dropout):
             m.p = 0.0
     model.train()
+    if freeze_bn:
+        # Frozen-BN recording: batch statistics at random init amplify f32
+        # noise chaotically (measured: 1e-6 input noise -> ~6e-3 output
+        # spread in this very model), putting cross-framework train parity
+        # below the noise floor.  Running-average normalization keeps the
+        # whole fwd+loss+bwd+Adam chain deterministic; the replay side sets
+        # Config.freeze_bn_stats.
+        for m in model.modules():
+            if isinstance(m, (torch.nn.BatchNorm1d, torch.nn.BatchNorm2d)):
+                m.eval()
 
     from lib.models.hand3d.Mano_render import ManoRender
     from lib.trains.simplified import CtdetLoss
@@ -217,7 +228,7 @@ def record_train_trajectory(ref_root, steps, lr=1e-4, B=2, seed=0):
         print(f"torch step {len(losses)}: loss={losses[-1]:.6f}")
 
     out = dict(losses=np.asarray(losses, np.float64), lr=lr, epoch=epoch,
-               steps=steps, seed=seed, B=B)
+               steps=steps, seed=seed, B=B, freeze_bn=freeze_bn)
     for i, st in enumerate(stats_hist):
         for k, v in st.items():
             out[f"stat_{i}_{k}"] = v
@@ -235,6 +246,10 @@ def main():
     ap.add_argument("--train_steps", type=int, default=0,
                     help="also record an N-step training trajectory")
     ap.add_argument("--train_only", action="store_true")
+    ap.add_argument("--freeze_bn", action="store_true", default=True,
+                    help="record with BatchNorm in running-average mode "
+                         "(deterministic; see record_train_trajectory)")
+    ap.add_argument("--no_freeze_bn", dest="freeze_bn", action="store_false")
     args = ap.parse_args()
     os.makedirs(OUT_DIR, exist_ok=True)
 
@@ -242,7 +257,8 @@ def main():
     install_shims(args.ref)
     _install_chumpy_stub()
     if args.train_steps:
-        record_train_trajectory(args.ref, args.train_steps)
+        record_train_trajectory(args.ref, args.train_steps,
+                                freeze_bn=args.freeze_bn)
         if args.train_only:
             return
     from types import SimpleNamespace
