@@ -290,7 +290,8 @@ class H2ODataset:
                           (lms_conf is None or lms_conf[21:].sum() > 10))
 
         if cfg.brightness and train and rng.randint(0, 2) == 0:
-            img = aug.add_noise(img.astype(np.float32), rng).astype(np.uint8)
+            # add_noise converts to f32 itself; no pre-copy
+            img = aug.add_noise(img, rng).astype(np.uint8)
         if flip:
             img = cv2.flip(img, 1)
             mask = cv2.flip(mask, 1) if mask is not None else None
@@ -400,34 +401,41 @@ class H2ODataset:
 
         mean = np.asarray(cfg.mean, np.float32)
         std = np.asarray(cfg.std, np.float32)
-        inp = (img.astype(np.float32) / 255.0 - mean) / std
+        # in-place normalization: one allocation instead of three full-image
+        # temporaries, and np.asarray instead of astype below (astype COPIES
+        # even when the dtype already matches — these were ~8 ms/sample)
+        inp = img.astype(np.float32)
+        inp /= 255.0
+        inp -= mean
+        inp /= std
+        f32 = lambda x: np.asarray(x, np.float32)
 
         out = {
-            "input": inp.astype(np.float32),
-            "depth": depth.astype(np.float32),
-            "cloud": np.stack([cloud_l, cloud_r]).astype(np.float32),
+            "input": inp,
+            "depth": f32(depth),
+            "cloud": f32(np.stack([cloud_l, cloud_r])),
             "choose": np.stack([choose_l, choose_r]),
             "hm": tgt["hm"], "hms": tgt["hms"], "wh": tgt["wh"],
             "off_hm": tgt["off_hm"], "off_lms": tgt["off_lms"],
             "ind": tgt["ind"],
             "valid": tgt["valid"],
-            "mask": mask_bin.astype(np.float32),
-            "mask_left_gt": mask_left.astype(np.float32),
-            "mask_right_gt": mask_right.astype(np.float32),
-            "lms": lms.astype(np.float32),
-            "K_new": K_img.astype(np.float32),
-            "lms_left_gt": hand["left"]["joints2d"].astype(np.float32),
-            "lms_right_gt": hand["right"]["joints2d"].astype(np.float32),
-            "joints_left_gt": hand["left"]["joints3d"].astype(np.float32),
-            "joints_right_gt": hand["right"]["joints3d"].astype(np.float32),
+            "mask": f32(mask_bin),
+            "mask_left_gt": f32(mask_left),
+            "mask_right_gt": f32(mask_right),
+            "lms": f32(lms),
+            "K_new": f32(K_img),
+            "lms_left_gt": f32(hand["left"]["joints2d"]),
+            "lms_right_gt": f32(hand["right"]["joints2d"]),
+            "joints_left_gt": f32(hand["left"]["joints3d"]),
+            "joints_right_gt": f32(hand["right"]["joints3d"]),
             "file_id": np.int64(index),
         }
         if hand["left"]["verts3d"] is not None:
             out.update({
-                "verts_left_gt": hand["left"]["verts3d"].astype(np.float32),
-                "verts_right_gt": hand["right"]["verts3d"].astype(np.float32),
-                "verts2d_left_gt": hand["left"]["verts2d"].astype(np.float32),
-                "verts2d_right_gt": hand["right"]["verts2d"].astype(np.float32),
+                "verts_left_gt": f32(hand["left"]["verts3d"]),
+                "verts_right_gt": f32(hand["right"]["verts3d"]),
+                "verts2d_left_gt": f32(hand["left"]["verts2d"]),
+                "verts2d_right_gt": f32(hand["right"]["verts2d"]),
             })
         if "id" in rec and self.split == "test":
             out["id"] = np.int64(rec["id"])
