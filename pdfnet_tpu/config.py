@@ -58,11 +58,15 @@ class Config:
     # the GCN right-hand-uses-left-GT bug (simplified.py:463), the left-valid
     # gating of both gcn terms (:481-482), and the batch-global (rather than
     # per-sample) zero-positive guard in the focal loss (losses.py:138-165).
-    # BatchNorm needs no gate: without axis_name, flax BN under a GSPMD-jitted
-    # step normalizes over the *global* batch, which is bit-identical to the
-    # reference's per-process BN at 1 device (the parity scenario) and
-    # strictly better (synced BN) beyond it.
+    # BatchNorm under GSPMD normalizes over the *global* batch (bit-identical
+    # to the reference's per-process BN at 1 device, strictly better — synced
+    # BN — beyond it).  To reproduce the reference's multi-GPU DDP semantics
+    # exactly (each of G replicas computes BN statistics over only its
+    # batch/G slice; rank 0's running stats are what its checkpoints hold),
+    # set bn_stat_groups=G: the train step vmaps model+loss over G groups,
+    # which is the strict emulation of G DDP workers (main.py:69-79).
     replicate_reference_quirks: bool = False
+    bn_stat_groups: int = 0           # 0/1 = global-batch BN; G>1 = DDP-of-G
 
     # ---- train ------------------------------------------------------------
     lr: float = 1e-4

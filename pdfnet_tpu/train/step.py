@@ -64,18 +64,45 @@ def make_train_step(cfg: Config, model: HandNet, consts: LossConsts,
                     donate: bool = True):
     tx = make_optimizer(cfg)
 
+    groups = max(int(getattr(cfg, "bn_stat_groups", 0) or 0), 0)
+
     def train_step(state: TrainState, batch: Dict[str, jax.Array],
                    epoch: jax.Array, lr: jax.Array, rng: jax.Array):
-        def loss_fn(params):
+        def fwd_loss(params, batch_g, rng_g):
             variables = {"params": params, "batch_stats": state.batch_stats}
             (result, p_dict, hand_dicts, other), mutated = model.apply(
-                variables, batch["input"], batch["choose"], batch["cloud"],
-                batch["depth"], batch["ind"], batch["K_new"], batch["valid"],
-                train=True, rngs={"dropout": rng}, mutable=["batch_stats"])
+                variables, batch_g["input"], batch_g["choose"],
+                batch_g["cloud"], batch_g["depth"], batch_g["ind"],
+                batch_g["K_new"], batch_g["valid"],
+                train=True, rngs={"dropout": rng_g}, mutable=["batch_stats"])
             loss, stats = compute_loss(cfg, consts, result, p_dict,
-                                       hand_dicts, other, batch, epoch,
+                                       hand_dicts, other, batch_g, epoch,
                                        mode="train")
             return loss, (stats, mutated["batch_stats"])
+
+        def loss_fn(params):
+            if groups <= 1:
+                return fwd_loss(params, batch, rng)
+            # Per-replica BN emulation (Config.bn_stat_groups): vmap the
+            # forward+loss over G equal batch slices.  Each slice's
+            # BatchNorms see only batch/G rows — exactly G DDP workers
+            # (reference main.py:69-79) — params are broadcast, the G mean
+            # losses average to DDP's all-reduced gradient objective, and
+            # group 0's running stats are kept (the rank-0 checkpoint).
+            B = batch["input"].shape[0]
+            if B % groups:
+                raise ValueError(f"batch {B} not divisible by "
+                                 f"bn_stat_groups={groups}")
+            per_sample = lambda x: getattr(x, "ndim", 0) >= 1 and x.shape[0] == B
+            gb = {k: v.reshape((groups, B // groups) + v.shape[1:])
+                  for k, v in batch.items() if per_sample(v)}
+            fixed = {k: v for k, v in batch.items() if not per_sample(v)}
+            losses, (stats, bs) = jax.vmap(
+                lambda b, r: fwd_loss(params, {**b, **fixed}, r))(
+                    gb, jax.random.split(rng, groups))
+            stats = jax.tree.map(lambda x: x.mean(0), stats)
+            new_bs = jax.tree.map(lambda x: x[0], bs)
+            return losses.mean(), (stats, new_bs)
 
         grads, (stats, new_bs) = jax.grad(loss_fn, has_aux=True)(state.params)
         opt_state = state.opt_state

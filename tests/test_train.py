@@ -461,3 +461,51 @@ def test_six_channel_cloud_train_step():
                             jnp.asarray(1e-4, jnp.float32),
                             jax.random.PRNGKey(1))
     assert np.isfinite(float(stats["loss"]))
+
+
+def test_bn_stat_groups_emulates_ddp_replicas(setup):
+    """Config.bn_stat_groups=G reproduces the reference's multi-GPU DDP
+    BatchNorm semantics (main.py:69-79): each of G groups computes BN
+    statistics over only its batch/G slice, the objective is the mean of
+    per-group mean losses (= DDP's all-reduce-averaged gradients), and the
+    kept running stats are group 0's (the rank-0 checkpoint)."""
+    cfg, model, consts, jb, state = setup
+    cfg_g = cfg.replace(bn_stat_groups=2)
+    step = make_train_step(cfg_g, model, consts, donate=False)
+    lr = jnp.asarray(lr_at_epoch(cfg_g, 0), jnp.float32)
+    rng = jax.random.PRNGKey(7)
+    new_state, stats = step(state, jb, jnp.asarray(0), lr, rng)
+    assert int(new_state.step) == 1
+
+    # Replay group 0 by hand: apply on the first half-batch with group 0's
+    # dropout rng; its mutated batch_stats must equal the kept stats, and
+    # the mean of the two per-half losses must equal the reported loss.
+    rngs = jax.random.split(rng, 2)
+    halves, losses = [], []
+    for g in range(2):
+        bg = {k: v[g:g + 1] for k, v in jb.items()}
+        variables = {"params": state.params,
+                     "batch_stats": state.batch_stats}
+        outs, mutated = model.apply(
+            variables, bg["input"], bg["choose"], bg["cloud"], bg["depth"],
+            bg["ind"], bg["K_new"], bg["valid"], train=True,
+            rngs={"dropout": rngs[g]}, mutable=["batch_stats"])
+        loss_g, _ = compute_loss(cfg_g, consts, *outs, bg, jnp.asarray(0),
+                                 "train")
+        halves.append(mutated["batch_stats"])
+        losses.append(float(loss_g))
+    np.testing.assert_allclose(float(stats["loss"]),
+                               np.mean(losses), rtol=1e-5)
+    ref0 = jax.tree.leaves(halves[0])
+    got = jax.tree.leaves(new_state.batch_stats)
+    assert len(ref0) == len(got) and len(got) > 0
+    for a, b in zip(got, ref0):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
+    # and differs from the global-batch stats a plain step would produce
+    plain = make_train_step(cfg, model, consts, donate=False)
+    ns_plain, _ = plain(state, jb, jnp.asarray(0), lr, rng)
+    diff = max(jax.tree.leaves(jax.tree.map(
+        lambda a, b: float(jnp.abs(a - b).max()),
+        new_state.batch_stats, ns_plain.batch_stats)))
+    assert diff > 0
