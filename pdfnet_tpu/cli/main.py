@@ -60,6 +60,11 @@ def build_argparser() -> argparse.ArgumentParser:
     ap.add_argument("--num_processes", type=int, default=0)
     ap.add_argument("--process_id", type=int, default=-1)
     ap.add_argument("--replicate_reference_quirks", action="store_true")
+    ap.add_argument("--bn_stat_groups", type=int, default=0,
+                    help="G>1: emulate G DDP replicas exactly — each group "
+                         "computes BatchNorm statistics over batch/G rows "
+                         "(the reference's multi-GPU semantics); 0/1 = "
+                         "global-batch (synced) BN")
     ap.add_argument("--patch_heads", action="store_true",
                     help="evaluate non-hm CenterNet heads only at the two "
                          "hand centers (exact, big FLOP cut for wh/params/"
@@ -110,6 +115,7 @@ def main(argv=None):
         seed=args.seed, sample_strategy=args.sample_strategy,
         cache_path=args.cache_path, pre_fix=args.pre_fix,
         replicate_reference_quirks=args.replicate_reference_quirks,
+        bn_stat_groups=args.bn_stat_groups,
         patch_heads=args.patch_heads,
         profile_dir=args.profile_dir,
         image_summary=args.image_summary,

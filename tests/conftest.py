@@ -22,3 +22,13 @@ os.environ["XLA_FLAGS"] = flags
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+# Persistent compile cache: full-model fixtures cost minutes of XLA:CPU
+# compile per pytest process on this 1-vCPU host; cache entries are keyed
+# to the boot (utils/cache.py) so a VM migration starts cold instead of
+# loading AOT code compiled for another CPU's features.
+from pdfnet_tpu.utils.cache import host_cache_dir  # noqa: E402
+
+jax.config.update("jax_compilation_cache_dir", host_cache_dir(
+    "/tmp/jax_cache_tests"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

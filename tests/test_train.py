@@ -494,14 +494,18 @@ def test_bn_stat_groups_emulates_ddp_replicas(setup):
                                  "train")
         halves.append(mutated["batch_stats"])
         losses.append(float(loss_g))
+    # jit(grad(vmap(...))) vs eager apply differ in f32 reduction order;
+    # at loss magnitude ~1e4 that is ~2e-5 relative (a wrong grouping —
+    # e.g. global-batch BN — shifts the loss by orders more, and is also
+    # caught by the stats assertions below).
     np.testing.assert_allclose(float(stats["loss"]),
-                               np.mean(losses), rtol=1e-5)
+                               np.mean(losses), rtol=2e-4)
     ref0 = jax.tree.leaves(halves[0])
     got = jax.tree.leaves(new_state.batch_stats)
     assert len(ref0) == len(got) and len(got) > 0
     for a, b in zip(got, ref0):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                   rtol=1e-5, atol=1e-6)
+                                   rtol=1e-4, atol=1e-5)
     # and differs from the global-batch stats a plain step would produce
     plain = make_train_step(cfg, model, consts, donate=False)
     ns_plain, _ = plain(state, jb, jnp.asarray(0), lr, rng)
