@@ -116,6 +116,10 @@ class Config:
     ball_radius: float = 0.015        # squared radius, level 1
     ball_radius2: float = 0.04        # squared radius, level 2
     sample_strategy: str = "random"   # random | FPS
+    # self-contained RGB-D path: sample the first sample_num in-band pixels
+    # in ascending order instead of a uniform random subset (reproducible
+    # serving; matches the reference's depth2pcl with its shuffles removed)
+    sample_deterministic: bool = False
     # topk | approx | pallas | pallas_fused | pallas_sa
     # pallas_sa additionally fuses the per-level MLP + max-pool into the
     # grouping kernel at eval (training always uses the pallas_fused path).

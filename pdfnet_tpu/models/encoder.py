@@ -43,6 +43,13 @@ class FPNEncoder(nn.Module):
     gather_method: str = "take"
     patch_heads: bool = False         # non-hm heads only at the 2 centers
     bn_frozen: bool = False           # frozen-BN fine-tuning: running stats
+    # reference quirk: the encoder's test-time decode NMSes the RAW hm
+    # logits (intaghand_encoder.py:750-758), so suppressed pixels (exactly 0
+    # after heat*keep) outrank any peak whose logit is negative (p < 0.5) —
+    # weak-confidence frames decode to pixel 0.  Default decodes the
+    # sigmoided map instead (always returns the true peak); enable for
+    # strict parity replays.
+    raw_center_decode: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -123,8 +130,10 @@ class FPNEncoder(nn.Module):
 
         # Test-time center decode from the predicted heatmap.
         if ind is None:
-            ind = decode_centers(clamped_sigmoid(
-                jax.lax.stop_gradient(ret["hm"])))
+            hm_pred = jax.lax.stop_gradient(ret["hm"])
+            if not self.raw_center_decode:
+                hm_pred = clamped_sigmoid(hm_pred)
+            ind = decode_centers(hm_pred)
 
         if self.patch_heads:
             p3 = gather_patches(x0, ind, 3).reshape(B * 2, 3, 3, gd)
@@ -169,6 +178,20 @@ class FPNEncoder(nn.Module):
         p = gather_patches(x0, ind, 5).reshape(B * 2, 5, 5, gd)
         up0 = nn.Conv(512, (3, 3), padding="VALID", use_bias=False,
                       dtype=self.dtype, name="center_up0")(p)
+        # Border exactness: the reference runs BOTH convs over the full
+        # zero-padded map, so the second conv's out-of-map inputs are its own
+        # padding zeros — NOT values computed from the zero-extended input
+        # patch.  Zero the 3x3 intermediate wherever its absolute map
+        # coordinate falls outside the map (only differs for centers within
+        # 1 px of the border, e.g. the raw-logit decode's pixel-0 quirk).
+        H0, W0 = x0.shape[1], x0.shape[2]
+        yc = (ind // W0).reshape(B * 2).astype(jnp.int32)
+        xc = (ind % W0).reshape(B * 2).astype(jnp.int32)
+        off = jnp.arange(-1, 2, dtype=jnp.int32)
+        rows_ok = ((yc[:, None] + off) >= 0) & ((yc[:, None] + off) < H0)
+        cols_ok = ((xc[:, None] + off) >= 0) & ((xc[:, None] + off) < W0)
+        inmap = (rows_ok[:, :, None] & cols_ok[:, None, :])[..., None]
+        up0 = up0 * inmap.astype(up0.dtype)
         up1 = nn.Conv(1024, (3, 3), padding="VALID", use_bias=False,
                       dtype=self.dtype, name="center_up1")(up0)
         center_feat = up1.reshape(B, 2, 1024)                # (B, 2, 1024)

@@ -53,6 +53,7 @@ class HandNet(nn.Module):
             input_feature_num=cfg.input_feature_num,
             knn_method=cfg.knn_method, gather_method=cfg.gather_method,
             patch_heads=cfg.patch_heads, bn_frozen=cfg.freeze_bn_stats,
+            raw_center_decode=cfg.replicate_reference_quirks,
             dtype=dtype, name="encoder")
 
         if choose is None or cloud is None:
@@ -71,7 +72,8 @@ class HandNet(nn.Module):
                 depth, mask_lr, K, valid, rng, cfg.sample_num,
                 with_normals=cfg.input_feature_num == 6,
                 fps_levels=((cfg.sample_num_level1, cfg.sample_num_level2)
-                            if cfg.sample_strategy == "FPS" else None))
+                            if cfg.sample_strategy == "FPS" else None),
+                deterministic=cfg.sample_deterministic)
             fuse = encoder(None, cloud.astype(jnp.float32), choose, ind_used,
                            train, mode="point", cached=cached)
             img_fmaps = [fuse, cached["x2"], cached["x3"], cached["x4"]]

@@ -29,7 +29,8 @@ MIN_PIXELS = 10
 def _sample_one_hand(depth_masked: jax.Array, xyz_flat: jax.Array,
                      key: jax.Array, num_points: int,
                      normals_flat: Optional[jax.Array] = None,
-                     min_pixels: int = MIN_PIXELS):
+                     min_pixels: int = MIN_PIXELS,
+                     deterministic: bool = False):
     """depth_masked: (HW,) masked metric depth; xyz_flat: (HW, 3)."""
     z = depth_masked
     nonzero = z != 0.0
@@ -40,8 +41,16 @@ def _sample_one_hand(depth_masked: jax.Array, xyz_flat: jax.Array,
     sel = (z > min_dis) & (z < max_dis)
     n_valid = sel.sum()
 
-    # Random priorities over selected pixels; top-k = uniform random subset.
-    pri = jax.random.uniform(key, z.shape) + sel.astype(jnp.float32) * 2.0
+    if deterministic:
+        # First num_points in-band pixels in ascending flat order, wrap-padded
+        # — exactly the reference's depth2pcl with its np.random.shuffle
+        # removed (intaghand_encoder.py:404-426: sorted nonzero() indices,
+        # first-1024 subset / 'wrap' pad).  Reproducible serving; also the
+        # cross-framework parity fixture's sampling mode.
+        pri = sel.astype(jnp.float32)      # top_k ties break to lower index
+    else:
+        # Random priorities over selected pixels; top-k = uniform subset.
+        pri = jax.random.uniform(key, z.shape) + sel.astype(jnp.float32) * 2.0
     _, order = jax.lax.top_k(pri, num_points)               # selected first
     pos = jnp.arange(num_points)
     wrapped = jnp.where(pos < n_valid, pos, pos % jnp.maximum(n_valid, 1))
@@ -66,11 +75,14 @@ def depth_to_hand_clouds(
     with_normals: bool = False,
     min_pixels: int = MIN_PIXELS,
     fps_levels: Optional[Tuple[int, int]] = None,
+    deterministic: bool = False,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Returns (choose (B, 2, N) int32, cloud (B, 2, N, 3|6), ok (B, 2)).
 
     ``fps_levels=(n1, n2)`` applies the two-level FPS prefix reordering to
     each hand's cloud + indices (--sample_strategy FPS at inference time).
+    ``deterministic`` replaces the uniform random subset with the first
+    num_points in-band pixels in ascending order (reproducible serving).
     """
     B, H, W = depth.shape
     band = ((depth > Z_MIN) & (depth < Z_MAX)).astype(depth.dtype)
@@ -90,7 +102,7 @@ def depth_to_hand_clouds(
                 nrm_flat = depth_normals(xyz).reshape(-1, 3)
             c, p, ok = _sample_one_hand(
                 dm.reshape(-1), xyz.reshape(-1, 3), kk[h], num_points,
-                nrm_flat, min_pixels)
+                nrm_flat, min_pixels, deterministic)
             if fps_levels is not None:
                 from pdfnet_tpu.ops.fps import fps_two_level_order
                 order = fps_two_level_order(p[:, :3], *fps_levels)

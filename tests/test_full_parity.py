@@ -82,6 +82,83 @@ def test_hms_and_mask_parity(parity):
         rtol=1e-4, atol=1e-3)
 
 
+@pytest.fixture(scope="module")
+def parity_sc():
+    """Self-contained eval path (choose=None) on the real bundled RGB-D pair:
+    NMS+top-1 center decode and depth2pcl from the PREDICTED mask — the path
+    demo/serving/the fps headline use (intaghand_encoder.py:369-491,750-784,
+    demo.py:202-235).  The reference recording patched out depth2pcl's
+    shuffles, so sample_deterministic=True replays the identical point sets
+    (see ops/pointcloud.py)."""
+    sc_in = os.path.join(FIXTURES, "selfcontained_inputs.npz")
+    if not os.path.exists(sc_in):
+        pytest.skip("self-contained fixtures not generated "
+                    "(rerun tools/make_model_golden.py)")
+    import jax.numpy as jnp
+    from pdfnet_tpu.config import Config
+    from pdfnet_tpu.models import build_model
+    from pdfnet_tpu.utils.convert_torch import convert_state_dict
+
+    inputs = dict(np.load(sc_in))
+    ref = dict(np.load(os.path.join(FIXTURES, "selfcontained_outputs.npz")))
+    state = dict(np.load(os.path.join(FIXTURES, "state_dict.npz")))
+
+    variables, _ = convert_state_dict(state, verbose=False)
+    cfg = Config(default_resolution=384, compute_dtype="float32",
+                 knn_method="topk", gather_method="take", dropout=0.0,
+                 sample_deterministic=True, replicate_reference_quirks=True)
+    model = build_model(cfg)
+    out = model.apply(
+        {"params": variables["params"],
+         "batch_stats": variables["batch_stats"]},
+        jnp.asarray(inputs["img"].transpose(0, 2, 3, 1)),
+        None, None,
+        jnp.asarray(inputs["depth"])[None],
+        None,
+        jnp.asarray(inputs["K"])[None],
+        jnp.asarray(inputs["valid"]),
+        train=False)
+    return inputs, ref, out, cfg
+
+
+def test_selfcontained_center_decode(parity_sc):
+    _, ref, (result, params, hand_dicts, other), _ = parity_sc
+    np.testing.assert_array_equal(np.asarray(other["ind"]), ref["ind"])
+
+
+def test_selfcontained_pointcloud_parity(parity_sc):
+    """Our depth2pcl twin on our predicted mask == reference choose/cloud."""
+    import jax
+    import jax.numpy as jnp
+    from pdfnet_tpu.ops.pointcloud import depth_to_hand_clouds
+
+    inputs, ref, (result, params, hand_dicts, other), cfg = parity_sc
+    mask_rl = np.asarray(other["mask"])          # (1,384,384,2) [right,left]
+    choose, cloud, _ok = depth_to_hand_clouds(
+        jnp.asarray(inputs["depth"])[None], jnp.asarray(mask_rl[..., ::-1]),
+        jnp.asarray(inputs["K"])[None], jnp.asarray(inputs["valid"]),
+        jax.random.PRNGKey(0), cfg.sample_num, deterministic=True)
+    np.testing.assert_array_equal(np.asarray(choose[0]),
+                                  ref["choose"].astype(np.int32))
+    np.testing.assert_allclose(np.asarray(cloud[0]), ref["cloud"], atol=1e-6)
+
+
+def test_selfcontained_mesh_outputs_parity(parity_sc):
+    _, ref, (result, params, hand_dicts, other), _ = parity_sc
+    np.testing.assert_allclose(
+        np.asarray(other["mask"]).transpose(0, 3, 1, 2), ref["mask"],
+        rtol=1e-4, atol=1e-3)
+    for side in ("left", "right"):
+        np.testing.assert_allclose(np.asarray(result["verts3d"][side]),
+                                   ref[f"verts3d_{side}"], atol=1e-4)
+        np.testing.assert_allclose(np.asarray(result["verts2d"][side]),
+                                   ref[f"verts2d_{side}"], atol=0.1)  # px
+        np.testing.assert_allclose(np.asarray(params["root"][side]),
+                                   ref[f"root_{side}"], atol=1e-4)
+        np.testing.assert_allclose(np.asarray(params["scale"][side]),
+                                   ref[f"scale_{side}"], atol=1e-4)
+
+
 def test_mesh_outputs_parity(parity):
     ref, (result, params, hand_dicts, other), _ = parity
     # verts in ~0.1-unit scale; 1e-4 units = 0.1 mm budget

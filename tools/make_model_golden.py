@@ -240,6 +240,117 @@ def record_train_trajectory(ref_root, steps, lr=1e-4, B=2, seed=0,
     print(f"wrote train trajectory ({steps} steps) to {OUT_DIR}")
 
 
+def record_selfcontained(model, ref_root, file_id="000002"):
+    """Record the reference's SELF-CONTAINED eval forward on a real bundled
+    RGB-D pair: choose=None/ind=None, so the hand centers come from NMS+top-1
+    on the predicted heatmap and the point clouds from depth2pcl on the
+    PREDICTED mask (intaghand_encoder.py:369-491, 750-784) — the path the
+    demo/serving/fps headline uses (demo.py:119-235 preprocessing replicated
+    here: fixed egocentric K with the intentional cx/cy swap, center-crop
+    affine warp, K->K_img update, ImageNet normalization of the BGR image).
+
+    depth2pcl's two np.random.shuffle calls are patched to no-ops, making the
+    point sampling deterministic (sorted first-1024 in-band pixels,
+    wrap-padded) — the exact semantics of pdfnet_tpu's
+    depth_to_hand_clouds(deterministic=True), so the replay side needs no RNG
+    coupling.
+    """
+    import cv2
+    import torch
+    import lib.models.networks.intaghand_encoder as enc
+
+    from lib.utils.image import get_affine_transform
+
+    img_file = os.path.join(ref_root, "assets", "H2O", "color",
+                            f"{file_id}.png")
+    depth_file = os.path.join(ref_root, "assets", "H2O", "depth",
+                              f"{file_id}.png")
+    image = cv2.imread(img_file)
+    depth = cv2.imread(depth_file, cv2.IMREAD_ANYDEPTH) / 1000.0
+
+    # demo.py:132-137: fixed H2O egocentric intrinsics, cx/cy intentionally
+    # swapped
+    fx, fy = 636.6593017578125, 636.251953125
+    cx, cy = 635.283881879317, 366.8740353496978
+    K = np.array([[fx, 0, cy], [0, fy, cx], [0, 0, 1]], np.float64)
+
+    h, w = image.shape[:2]
+    c = np.array([w / 2.0, h / 2.0], np.float32)
+    s = max(h, w) * 1.0
+    res = 384
+    trans_input, _ = get_affine_transform(c, s, 0, [res, res])
+    K_img = K.copy()
+    K_img[0][0] = K[0][0] * trans_input[0][0]
+    K_img[1][1] = K[1][1] * trans_input[1][1]
+    K_img[0][2] = K[0][2] * trans_input[0][0] + trans_input[0][2]
+    K_img[1][2] = K[1][2] * trans_input[1][1] + trans_input[1][2]
+    K_img = K_img.astype(np.float32)
+
+    image = cv2.warpAffine(image, trans_input, (res, res),
+                           flags=cv2.INTER_LINEAR)
+    depth_384 = cv2.warpAffine(depth, trans_input, (res, res),
+                               flags=cv2.INTER_NEAREST).astype(np.float32)
+    mean = np.array([0.485, 0.456, 0.406], np.float32).reshape(1, 1, 3)
+    std = np.array([0.229, 0.224, 0.225], np.float32).reshape(1, 1, 3)
+    pre_img = (image.astype(np.float32) / 255.0 - mean) / std    # HWC (BGR,
+    # exactly as demo.py:325 feeds it — color order is part of the fixture)
+    valid = np.ones((1, 2), np.float32)
+
+    captured = {}
+    orig_shuffle, orig_d2p = np.random.shuffle, enc.depth2pcl
+
+    def d2p_capture(depth_t, mask_t, K_t, valid_np):
+        ch, cl = orig_d2p(depth_t, mask_t, K_t, valid_np)
+        captured["choose"], captured["cloud"] = ch, cl
+        return ch, cl
+
+    np.random.shuffle = lambda x: None          # determinism (see docstring)
+    enc.depth2pcl = d2p_capture
+    try:
+        with torch.no_grad():
+            result, params, hand_dicts, other = model(
+                torch.from_numpy(pre_img.transpose(2, 0, 1)[None].copy()),
+                None, None, torch.from_numpy(depth_384),
+                None, torch.from_numpy(K_img), valid)
+    finally:
+        np.random.shuffle = orig_shuffle
+        enc.depth2pcl = orig_d2p
+
+    # the decoded center indices, recomputed exactly as the encoder does
+    # (intaghand_encoder.py:750-758; raw-logit NMS + per-channel top-1)
+    with torch.no_grad():
+        chms = enc._nms(other["ret"]["hm"].clone(), 5)
+        _, ind_left, _, _ = enc._topk(chms[:, :1], 1)
+        _, ind_right, _, _ = enc._topk(chms[:, 1:], 1)
+        ind = torch.cat((ind_left, ind_right), dim=1).numpy()
+
+    np.savez(os.path.join(OUT_DIR, "selfcontained_inputs.npz"),
+             img=pre_img.transpose(2, 0, 1)[None], depth=depth_384,
+             K=K_img, valid=valid, file_id=file_id)
+    np.savez(
+        os.path.join(OUT_DIR, "selfcontained_outputs.npz"),
+        ind=ind, choose=captured["choose"], cloud=captured["cloud"],
+        verts3d_left=result["verts3d"]["left"].numpy(),
+        verts3d_right=result["verts3d"]["right"].numpy(),
+        verts2d_left=result["verts2d"]["left"].numpy(),
+        verts2d_right=result["verts2d"]["right"].numpy(),
+        scale_left=params["scale"]["left"].numpy(),
+        scale_right=params["scale"]["right"].numpy(),
+        trans2d_left=params["trans2d"]["left"].numpy(),
+        trans2d_right=params["trans2d"]["right"].numpy(),
+        root_left=params["root"]["left"].numpy(),
+        root_right=params["root"]["right"].numpy(),
+        gcn_verts_left=hand_dicts[0]["verts3d"]["left"].numpy(),
+        gcn_verts_right=hand_dicts[0]["verts3d"]["right"].numpy(),
+        hms=other["hms"].numpy(),
+        mask=other["mask"].numpy(),
+        hm=other["ret"]["hm"].numpy(),
+    )
+    n_band = [int((captured["choose"][i] > 0).sum()) for i in range(2)]
+    print(f"wrote self-contained fixtures to {OUT_DIR} "
+          f"(in-band pixel diversity per hand: {n_band})")
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--ref", default="/root/reference")
@@ -318,6 +429,11 @@ def main():
     sd = {k: v.detach().cpu().numpy() for k, v in model.state_dict().items()}
     np.savez(os.path.join(OUT_DIR, "state_dict.npz"), **sd)
     print(f"wrote parity fixtures to {OUT_DIR}")
+
+    # self-contained eval path on the real bundled RGB-D pair (same model)
+    if os.path.exists(os.path.join(args.ref, "assets", "H2O", "color",
+                                   "000002.png")):
+        record_selfcontained(model, args.ref)
 
 
 if __name__ == "__main__":
