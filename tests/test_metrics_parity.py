@@ -1,0 +1,218 @@
+"""Metric-pipeline + artifact-format parity vs the reference evaluator.
+
+The oracle below transcribes the reference's accumulation math
+(/root/reference/lib/trains/base_trainer.py:262-335 abs+off blocks,
+:406-429 summary/score file, :328-335,431-433,486-489 H2O submission dict)
+with torch on identical inputs, and the artifact tests pin our
+``H2O-val.txt`` block bytes and ``hand_poses.json`` schema against the
+reference writer's output format (and the checked-in
+/root/reference/H2O-val.txt header block).
+"""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+from pdfnet_tpu.train.metrics import MetricAccumulator  # noqa: E402
+
+REF_SCORES = "/root/reference/H2O-val.txt"
+
+
+def _fake_eval_stream(n=7, seed=0):
+    """Per-sample eval outputs in the shapes the evaluator consumes."""
+    rng = np.random.RandomState(seed)
+    stream = []
+    for i in range(n):
+        s = lambda *sh: rng.randn(1, *sh).astype(np.float32)
+        out = dict(
+            joints_pred=s(2, 21, 3) * 0.01 + 0.4,
+            joints_gt=s(2, 21, 3) * 0.01 + 0.4,
+            verts_pred=s(2, 778, 3) * 0.01 + 0.4,
+            verts_gt=s(2, 778, 3) * 0.01 + 0.4,
+            joints_pred_off=s(2, 21, 3) * 0.01,
+            joints_gt_off=s(2, 21, 3) * 0.01,
+            verts_pred_off=s(2, 778, 3) * 0.01,
+            verts_gt_off=s(2, 778, 3) * 0.01,
+            lms21_pred=s(2, 21, 2) * 5 + 192,
+        )
+        batch = dict(
+            lms_left_gt=s(21, 2)[0][None] * 5 + 192,
+            lms_right_gt=s(21, 2)[0][None] * 5 + 192,
+            # 7 frames over 3 actions, sequential like the H2O val loader
+            id=np.array([1 + (i >= 3) + (i >= 5)], np.int64),
+            frame_num=np.array([10 + i], np.int64),
+        )
+        stream.append((out, batch))
+    return stream
+
+
+def _reference_oracle(stream):
+    """The reference evaluation loop at bs=1, verbatim math.
+
+    Mirrors base_trainer.py:220-231 (accumulators), :262-283 (abs block),
+    :291-323 (off block), :275 (lms), :328-335 + :431-433 (H2O dict),
+    :406-429 (per-split division + score lines).
+    """
+    t = torch.from_numpy
+    hand_num = 2  # noqa: F841  (mirrors :221)
+    left_joints_loss_all = right_joints_loss_all = 0
+    left_verts_loss_all = right_verts_loss_all = 0
+    left_joints_loss_all_off = right_joints_loss_all_off = 0
+    left_verts_loss_all_off = right_verts_loss_all_off = 0
+    lms_loss_all = 0
+    H2O_list = {"modality": "RGBD"}
+    local_list = {}
+    action_id = 1
+
+    for out, data in stream:
+        joints_pred, joints_gt = t(out["joints_pred"]), t(out["joints_gt"])
+        vertex_pred, vertex_gt = t(out["verts_pred"]), t(out["verts_gt"])
+        lms21_pred = t(out["lms21_pred"])
+
+        joint_left_loss = torch.norm(
+            joints_pred[:, 0] - joints_gt[:, 0], dim=-1).numpy()
+        joint_right_loss = torch.norm(
+            joints_pred[:, 1] - joints_gt[:, 1], dim=-1).numpy()
+        vert_left_loss = torch.norm(
+            vertex_pred[:, 0] - vertex_gt[:, 0], dim=-1).numpy()
+        vert_right_loss = torch.norm(
+            vertex_pred[:, 1] - vertex_gt[:, 1], dim=-1).numpy()
+        lms_left_loss = torch.norm(
+            lms21_pred[:, 0] - t(data["lms_left_gt"]), dim=-1).numpy()
+        lms_right_loss = torch.norm(
+            lms21_pred[:, 1] - t(data["lms_right_gt"]), dim=-1).numpy()
+
+        lms_loss_all += (lms_left_loss + lms_right_loss).mean() / 2
+        left_joints_loss_all += joint_left_loss.mean() * 1000
+        right_joints_loss_all += joint_right_loss.mean() * 1000
+        left_verts_loss_all += vert_left_loss.mean() * 1000
+        right_verts_loss_all += vert_right_loss.mean() * 1000
+
+        jp_off, jg_off = t(out["joints_pred_off"]), t(out["joints_gt_off"])
+        vp_off, vg_off = t(out["verts_pred_off"]), t(out["verts_gt_off"])
+        left_joints_loss_all_off += torch.norm(
+            jp_off[:, 0] - jg_off[:, 0], dim=-1).numpy().mean() * 1000
+        right_joints_loss_all_off += torch.norm(
+            jp_off[:, 1] - jg_off[:, 1], dim=-1).numpy().mean() * 1000
+        left_verts_loss_all_off += torch.norm(
+            vp_off[:, 0] - vg_off[:, 0], dim=-1).numpy().mean() * 1000
+        right_verts_loss_all_off += torch.norm(
+            vp_off[:, 1] - vg_off[:, 1], dim=-1).numpy().mean() * 1000
+
+        # H2O submission dict (base_trainer.py:328-335)
+        if data["id"][0] == action_id + 1:
+            H2O_list.update({"{}".format(action_id): local_list})
+            action_id = action_id + 1
+            local_list = {}
+        frame_num = data["frame_num"][0]
+        local_list.update({"{:06d}.txt".format(frame_num):
+                           joints_pred.reshape(-1).tolist()})
+    H2O_list.update({"{}".format(action_id): local_list})  # :431-433
+
+    n = len(stream)
+    metrics = dict(
+        abs_left_joints_loss_all=left_joints_loss_all / n,
+        abs_right_joints_loss_all=right_joints_loss_all / n,
+        abs_left_verts_loss_all=left_verts_loss_all / n,
+        abs_right_verts_loss_all=right_verts_loss_all / n,
+        off_left_joints_loss_all=left_joints_loss_all_off / n,
+        off_right_joints_loss_all=right_joints_loss_all_off / n,
+        off_left_verts_loss_all=left_verts_loss_all_off / n,
+        off_right_verts_loss_all=right_verts_loss_all_off / n,
+        lms=lms_loss_all / n,
+    )
+    # the exact score-file block the reference appends (:420-429)
+    block = "eval \n"
+    for name in ("abs_left_joints_loss_all", "abs_right_joints_loss_all",
+                 "abs_left_verts_loss_all", "abs_right_verts_loss_all",
+                 "off_left_joints_loss_all", "off_right_joints_loss_all",
+                 "off_left_verts_loss_all", "off_right_verts_loss_all"):
+        block += "%s: %.2f\n" % (name, metrics[name])
+    return metrics, block, H2O_list
+
+
+OUR_KEY = dict(abs_left_joints_loss_all="abs_mpjpe_left",
+               abs_right_joints_loss_all="abs_mpjpe_right",
+               abs_left_verts_loss_all="abs_mpvpe_left",
+               abs_right_verts_loss_all="abs_mpvpe_right",
+               off_left_joints_loss_all="off_mpjpe_left",
+               off_right_joints_loss_all="off_mpjpe_right",
+               off_left_verts_loss_all="off_mpvpe_left",
+               off_right_verts_loss_all="off_mpvpe_right",
+               lms="lms_px")
+
+
+def test_accumulator_matches_reference_math_bs1():
+    stream = _fake_eval_stream()
+    ref, _, _ = _reference_oracle(stream)
+    acc = MetricAccumulator()
+    for out, batch in stream:
+        acc.update(out, batch)
+    ours = acc.result()
+    for ref_name, our_name in OUR_KEY.items():
+        np.testing.assert_allclose(ours[our_name], ref[ref_name], rtol=1e-5,
+                                   err_msg=ref_name)
+
+
+def test_accumulator_matches_reference_math_batched_padded():
+    """One padded 8-row batch == the reference's 7 bs=1 steps exactly."""
+    stream = _fake_eval_stream()
+    ref, _, _ = _reference_oracle(stream)
+    out = {k: np.concatenate([o[k] for o, _ in stream] + [stream[0][0][k]])
+           for k in stream[0][0]}
+    batch = {k: np.concatenate([b[k] for _, b in stream] + [stream[0][1][k]])
+             for k in stream[0][1]}
+    batch["pad_mask"] = np.array([1] * 7 + [0], np.float32)  # padded tail row
+    acc = MetricAccumulator()
+    acc.update(out, batch)
+    ours = acc.result()
+    for ref_name, our_name in OUR_KEY.items():
+        np.testing.assert_allclose(ours[our_name], ref[ref_name], rtol=1e-5,
+                                   err_msg=ref_name)
+
+
+def test_score_block_bytes_match_reference_writer():
+    stream = _fake_eval_stream()
+    _, ref_block, _ = _reference_oracle(stream)
+    acc = MetricAccumulator()
+    for out, batch in stream:
+        acc.update(out, batch)
+    assert acc.format_block() == ref_block
+
+
+@pytest.mark.skipif(not os.path.exists(REF_SCORES),
+                    reason="reference H2O-val.txt not available")
+def test_score_block_shape_matches_checked_in_reference_file():
+    """Line names/order/format identical to /root/reference/H2O-val.txt:1-9."""
+    with open(REF_SCORES) as f:
+        ref_lines = [f.readline() for _ in range(9)]
+    acc = MetricAccumulator()
+    acc.update(*_fake_eval_stream(n=1)[0])
+    ours = acc.format_block().splitlines(keepends=True)
+    assert len(ours) == 9
+    assert ours[0] == ref_lines[0]            # 'eval \n' incl trailing space
+    for our_line, ref_line in zip(ours[1:], ref_lines[1:]):
+        name, val = our_line.split(": ")
+        ref_name, ref_val = ref_line.split(": ")
+        assert name == ref_name
+        float(val)                            # '%.2f\n' parses
+        assert len(val.rstrip("\n").split(".")[1]) == 2
+
+
+def test_h2o_submission_json_matches_reference_writer(tmp_path):
+    stream = _fake_eval_stream()
+    _, _, ref_dict = _reference_oracle(stream)
+    acc = MetricAccumulator()
+    for out, batch in stream:
+        acc.update(out, batch)
+    path = os.path.join(tmp_path, "hand_poses.json")
+    acc.write_h2o_submission(path)
+    with open(path) as f:
+        ours = json.load(f)
+    # identical schema AND values (json round-trips the reference dict too,
+    # matching base_trainer.py:486-489's json.dump)
+    assert ours == json.loads(json.dumps(ref_dict))
