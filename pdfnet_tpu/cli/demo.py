@@ -50,16 +50,17 @@ def main(argv=None):
     ap.add_argument("--out", default="outputs/demo")
     ap.add_argument("--limit", type=int, default=0)
     ap.add_argument("--res", type=int, default=384)
+    ap.add_argument("--sample_num", type=int, default=1024)
+    ap.add_argument("--sample_num_level1", type=int, default=512)
+    ap.add_argument("--sample_num_level2", type=int, default=128)
+    ap.add_argument("--knn_k", type=int, default=64)
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args(argv)
 
     import jax
-    if args.cpu:
-        jax.config.update("jax_platforms", "cpu")
-    # Per-platform cache dirs: the TPU-attached process cross-compiles CPU
-    # executables with the *remote* host's ISA, which SIGILLs locally.
-    cache = "/tmp/jax_cache_cpu" if args.cpu else "/tmp/jax_cache"
-    jax.config.update("jax_compilation_cache_dir", cache)
+
+    from pdfnet_tpu.utils.cache import setup_cli_cache
+    setup_cli_cache(args.cpu)
     import jax.numpy as jnp
 
     from pdfnet_tpu import assets
@@ -72,7 +73,10 @@ def main(argv=None):
     from pdfnet_tpu.train.loss import eval_outputs
     from pdfnet_tpu.utils.vis import draw_hand_skeleton
 
-    cfg = Config(default_resolution=args.res, batch_size=1, mode="test")
+    cfg = Config(default_resolution=args.res, batch_size=1, mode="test",
+                 sample_num=args.sample_num,
+                 sample_num_level1=args.sample_num_level1,
+                 sample_num_level2=args.sample_num_level2, knn_k=args.knn_k)
     model = build_model(cfg)
     consts = load_loss_consts()
 

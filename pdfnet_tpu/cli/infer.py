@@ -91,14 +91,17 @@ def main(argv=None):
     ap.add_argument("--limit", type=int, default=0)
     ap.add_argument("--json", action="store_true",
                     help="also write per-frame H2O challenge 126-float json")
+    ap.add_argument("--sample_num", type=int, default=1024)
+    ap.add_argument("--sample_num_level1", type=int, default=512)
+    ap.add_argument("--sample_num_level2", type=int, default=128)
+    ap.add_argument("--knn_k", type=int, default=64)
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args(argv)
 
     import jax
-    if args.cpu:
-        jax.config.update("jax_platforms", "cpu")
-    cache = "/tmp/jax_cache_cpu" if args.cpu else "/tmp/jax_cache"
-    jax.config.update("jax_compilation_cache_dir", cache)
+
+    from pdfnet_tpu.utils.cache import setup_cli_cache
+    setup_cli_cache(args.cpu)
     import jax.numpy as jnp
 
     from pdfnet_tpu.config import Config
@@ -107,7 +110,9 @@ def main(argv=None):
     from pdfnet_tpu.train.loss import eval_outputs, load_loss_consts
 
     cfg = Config(default_resolution=args.res, batch_size=args.batch,
-                 mode="test")
+                 mode="test", sample_num=args.sample_num,
+                 sample_num_level1=args.sample_num_level1,
+                 sample_num_level2=args.sample_num_level2, knn_k=args.knn_k)
     model = build_model(cfg)
     consts = load_loss_consts()
 

@@ -13,42 +13,95 @@ batch sharding); no torch.distributed.launch equivalent is needed.
 from __future__ import annotations
 
 import argparse
+import dataclasses
 import os
 import time
 
+_CHOICES = {
+    "arch": ["resnet50", "csp_50", "csp_18"],
+    "mode": ["train", "val", "test"],
+    "sample_strategy": ["random", "FPS"],
+    "knn_method": ["topk", "approx", "pallas", "pallas_fused", "pallas_sa"],
+    "gather_method": ["take", "onehot"],
+    "compute_dtype": ["bfloat16", "float32"],
+    "optimizer": ["Adam"],
+}
+
+_HELP = {
+    "arch": "resnet50 = flagship HandNet; csp_* = the legacy MANO-theta "
+            "regression detector (train-only)",
+    "eval_batch_size": "eval loader batch (reference always uses 1; larger "
+                       "batches the eval forward for a big speedup)",
+    "bn_stat_groups": "G>1: emulate G DDP replicas exactly — each group "
+                      "computes BatchNorm statistics over batch/G rows (the "
+                      "reference's multi-GPU semantics); 0/1 = global-batch "
+                      "(synced) BN",
+    "patch_heads": "evaluate non-hm CenterNet heads only at the two hand "
+                   "centers (exact, big FLOP cut for wh/params/texture/light "
+                   "consumers)",
+    "profile_dir": "capture a jax.profiler device trace window here (view "
+                   "in TensorBoard/Perfetto)",
+    "image_summary": "write input|pred|gt render grids every "
+                     "image_summary_every steps",
+    "input_feature_num": "3 = xyz point clouds, 6 = xyz+surface normals",
+    "photometric_loss": "differentiable-render photometric/silhouette loss "
+                        "terms (+texture/light heads)",
+    "off": "train the off_hm/off_lms sub-pixel offset heads",
+    "freeze_bn_stats": "BatchNorm uses running statistics even in training "
+                       "(frozen-BN fine-tuning)",
+    "skip_nonfinite_updates": "skip parameter updates when the loss is "
+                              "non-finite (in-graph guard)",
+    "sample_deterministic": "self-contained RGB-D path samples the first N "
+                            "in-band pixels instead of a random subset "
+                            "(reproducible serving)",
+}
+
+
+def _tuple_arg(elem):
+    def parse(s):
+        s = s.strip()
+        return tuple(elem(t) for t in s.split(",")) if s else ()
+    return parse
+
 
 def build_argparser() -> argparse.ArgumentParser:
+    """Every behavior-bearing ``Config`` field is reachable here: the parser
+    is generated from the dataclass (the reference exposes its full ~90-flag
+    surface through lib/opts.py:241-282; booleans get --x/--no-x pairs so
+    default-on flags like --reproj_loss can actually be disabled)."""
+    from pdfnet_tpu.config import Config
+
     ap = argparse.ArgumentParser()
-    ap.add_argument("--task", default="interact")
-    ap.add_argument("--arch", default="resnet50",
-                    choices=["resnet50", "csp_50", "csp_18"],
-                    help="resnet50 = flagship HandNet; csp_* = the legacy "
-                         "MANO-theta regression detector (train-only)")
-    ap.add_argument("--mode", default="train", choices=["train", "val", "test"])
-    ap.add_argument("--dataset", default="H2O")
-    ap.add_argument("--exp_id", default="default")
-    ap.add_argument("--batch_size", type=int, default=8)
-    ap.add_argument("--eval_batch_size", type=int, default=1,
-                    help="eval loader batch (reference always uses 1; "
-                         "larger batches the eval forward for a big "
-                         "speedup; the H2O submission path needs 1)")
-    ap.add_argument("--default_resolution", type=int, default=384)
-    ap.add_argument("--lr", type=float, default=1e-4)
-    ap.add_argument("--lr_step", default="30")
-    ap.add_argument("--num_epochs", type=int, default=80)
-    ap.add_argument("--start_epoch", type=int, default=0)
-    ap.add_argument("--load_model", default="")
-    ap.add_argument("--output_path", default="outputs")
-    ap.add_argument("--seed", type=int, default=317)
-    ap.add_argument("--depth", action="store_true", default=True)
-    ap.add_argument("--reproj_loss", action="store_true", default=True)
-    ap.add_argument("--bone_loss", action="store_true", default=True)
-    ap.add_argument("--brightness", action="store_true", default=True)
-    ap.add_argument("--avg_center", action="store_true", default=True)
-    ap.add_argument("--sample_strategy", default="random",
-                    choices=["random", "FPS"])
-    ap.add_argument("--cache_path", default="data")
-    ap.add_argument("--pre_fix", default="data")
+    for f in dataclasses.fields(Config):
+        name, kw = f"--{f.name}", {"help": _HELP.get(f.name)}
+        if f.name in _CHOICES:
+            kw["choices"] = _CHOICES[f.name]
+        ftype = str(f.type)
+        if ftype == "bool":
+            ap.add_argument(name, action=argparse.BooleanOptionalAction,
+                            default=f.default, help=kw["help"])
+        elif ftype == "int":
+            ap.add_argument(name, type=int, default=f.default, **kw)
+        elif ftype == "float":
+            ap.add_argument(name, type=float, default=f.default, **kw)
+        elif ftype == "str":
+            ap.add_argument(name, default=f.default, **kw)
+        elif "Tuple[int" in ftype:
+            ap.add_argument(name, type=_tuple_arg(int), default=f.default,
+                            metavar="N,N,...", **kw)
+        elif "Tuple[float" in ftype:
+            ap.add_argument(name, type=_tuple_arg(float), default=f.default,
+                            metavar="X,X,...", **kw)
+        else:                                  # pragma: no cover
+            raise TypeError(f"unhandled Config field type {f.type!r} "
+                            f"for {f.name}")
+
+    # CLI-only flags (not Config fields)
+    ap.add_argument("--depth", action=argparse.BooleanOptionalAction,
+                    default=True,
+                    help="RGB-D input (the published PDFNet recipe; "
+                         "--no-depth is rejected — RGB-only records are "
+                         "handled per-dataset with zero-padded clouds)")
     ap.add_argument("--synthetic", action="store_true",
                     help="use the synthetic dataset (no H2O caches needed)")
     ap.add_argument("--steps", type=int, default=0,
@@ -59,35 +112,36 @@ def build_argparser() -> argparse.ArgumentParser:
                          "on TPU pods; explicit for CPU simulation)")
     ap.add_argument("--num_processes", type=int, default=0)
     ap.add_argument("--process_id", type=int, default=-1)
-    ap.add_argument("--replicate_reference_quirks", action="store_true")
-    ap.add_argument("--bn_stat_groups", type=int, default=0,
-                    help="G>1: emulate G DDP replicas exactly — each group "
-                         "computes BatchNorm statistics over batch/G rows "
-                         "(the reference's multi-GPU semantics); 0/1 = "
-                         "global-batch (synced) BN")
-    ap.add_argument("--patch_heads", action="store_true",
-                    help="evaluate non-hm CenterNet heads only at the two "
-                         "hand centers (exact, big FLOP cut for wh/params/"
-                         "texture/light consumers)")
-    ap.add_argument("--profile_dir", default="",
-                    help="capture a jax.profiler device trace window here "
-                         "(view in TensorBoard/Perfetto)")
-    ap.add_argument("--image_summary", action="store_true",
-                    help="write input|pred|gt render grids every 500 steps")
+    ap.add_argument("--eval_every", type=int, default=5,
+                    help="run eval every N epochs while training "
+                         "(reference main.py:115)")
+    ap.add_argument("--save_every", type=int, default=5,
+                    help="checkpoint every N epochs (reference main.py:123)")
     ap.add_argument("--vis_every", type=int, default=0,
                     help="eval-loop visual dumps (overlay/skeleton/.obj) "
                          "every N samples, as the reference does every 500")
     return ap
 
 
+def config_from_args(args):
+    """Round-trip the parsed namespace into a ``Config`` (all fields)."""
+    from pdfnet_tpu.config import Config
+    return Config(**{f.name: getattr(args, f.name)
+                     for f in dataclasses.fields(Config)})
+
+
 def main(argv=None):
     args = build_argparser().parse_args(argv)
+    if not args.depth:
+        raise SystemExit(
+            "--no-depth: the published PDFNet model is RGB-D; RGB-only "
+            "records (FreiHAND) are handled per-dataset with zero-padded "
+            "clouds instead of an RGB-only architecture")
 
     import jax
-    if args.cpu:
-        jax.config.update("jax_platforms", "cpu")
-    cache = "/tmp/jax_cache_cpu" if args.cpu else "/tmp/jax_cache"
-    jax.config.update("jax_compilation_cache_dir", cache)
+
+    from pdfnet_tpu.utils.cache import setup_cli_cache
+    setup_cli_cache(args.cpu)
 
     # multi-host rendezvous (the torch.distributed.launch + NCCL init role,
     # reference main.py:69-75); no-op on a single host
@@ -101,25 +155,9 @@ def main(argv=None):
               f"{jax.process_count()}, {jax.local_device_count()} local / "
               f"{jax.device_count()} global devices")
 
-    from pdfnet_tpu.config import Config
     from pdfnet_tpu.train.trainer import Trainer, Logger, fit
 
-    cfg = Config(
-        task=args.task, arch=args.arch, mode=args.mode, dataset=args.dataset,
-        exp_id=args.exp_id, batch_size=args.batch_size,
-        eval_batch_size=args.eval_batch_size,
-        default_resolution=args.default_resolution, lr=args.lr,
-        lr_step=tuple(int(s) for s in args.lr_step.split(",")),
-        num_epochs=args.num_epochs, start_epoch=args.start_epoch,
-        load_model=args.load_model, output_path=args.output_path,
-        seed=args.seed, sample_strategy=args.sample_strategy,
-        cache_path=args.cache_path, pre_fix=args.pre_fix,
-        replicate_reference_quirks=args.replicate_reference_quirks,
-        bn_stat_groups=args.bn_stat_groups,
-        patch_heads=args.patch_heads,
-        profile_dir=args.profile_dir,
-        image_summary=args.image_summary,
-    )
+    cfg = config_from_args(args)
 
     if args.synthetic:
         from pdfnet_tpu.data.synthetic import SyntheticHandDataset
@@ -141,6 +179,7 @@ def main(argv=None):
 
     if args.mode == "train":
         fit(cfg, train_data, eval_data, log_dir=log_dir, ckpt_dir=ckpt_dir,
+            eval_every=args.eval_every, save_every=args.save_every,
             max_steps_per_epoch=args.steps or None)
     else:
         trainer = Trainer(cfg)

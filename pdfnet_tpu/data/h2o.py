@@ -453,12 +453,14 @@ class H2ODataset:
             process_index=process_index, process_count=process_count)
 
 
-def build_dataset(cfg: Config, split: str):
-    """Dataset factory: real caches when present, else synthetic."""
-    try:
-        return H2ODataset(cfg, split)
-    except FileNotFoundError:
+def build_dataset(cfg: Config, split: str, synthetic: bool = False):
+    """Dataset factory.  ``synthetic`` must be requested EXPLICITLY — a
+    typo'd --cache_path must fail loudly (H2ODataset raises
+    FileNotFoundError with the path), never silently train on random
+    synthetic hands."""
+    if synthetic:
         from pdfnet_tpu.data.synthetic import SyntheticHandDataset
         return SyntheticHandDataset(cfg, size=256 if split == "train" else 32,
                                     seed=0 if split == "train" else 1,
                                     train=split == "train")
+    return H2ODataset(cfg, split)

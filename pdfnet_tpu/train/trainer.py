@@ -332,7 +332,7 @@ def fit(cfg: Config, train_data, eval_data=None, log_dir: str = "outputs/logs",
         log(f"epoch {epoch}: loss={means.get('loss', float('nan')):.3f} "
             f"({time.time() - t0:.1f}s, lr={lr_at_epoch(cfg, epoch):.2e})")
         if (eval_data is not None and trainer.eval_step is not None
-                and (epoch + 1) % eval_every == 0):
+                and eval_every > 0 and (epoch + 1) % eval_every == 0):
             acc = trainer.evaluate(eval_data.batches(cfg.eval_batch_size, 0))
             if pi == 0:
                 block = acc.format_block(f"epoch {epoch}")
@@ -340,7 +340,7 @@ def fit(cfg: Config, train_data, eval_data=None, log_dir: str = "outputs/logs",
                 with open(os.path.join(log_dir,
                                        f"{cfg.dataset}-val.txt"), "a") as f:
                     f.write(block)
-        if (epoch + 1) % save_every == 0 and pi == 0:
+        if save_every > 0 and (epoch + 1) % save_every == 0 and pi == 0:
             path = trainer.save(ckpt_dir, epoch)
             log(f"saved {path}")
     return trainer

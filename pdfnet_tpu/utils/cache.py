@@ -34,3 +34,18 @@ def host_cache_dir(prefix: str = "/tmp/jax_cache") -> str:
     feat = feat or platform.processor() or platform.machine()
     tag = hashlib.sha1(feat.encode()).hexdigest()[:10]
     return f"{prefix}_{tag}"
+
+
+def setup_cli_cache(cpu: bool) -> None:
+    """CLI entry points: pick a persistent compile cache unless the process
+    already configured one (e.g. tests/conftest.py's warm suite cache)."""
+    import jax
+
+    if cpu:
+        jax.config.update("jax_platforms", "cpu")
+    if jax.config.jax_compilation_cache_dir is None:
+        # CPU executables are host-keyed (AOT code from another machine
+        # aborts at load); TPU executables are compiled by the TPU runtime.
+        cache = (host_cache_dir("/tmp/jax_cache_cpu") if cpu
+                 else "/tmp/jax_cache")
+        jax.config.update("jax_compilation_cache_dir", cache)
