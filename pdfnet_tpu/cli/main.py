@@ -187,9 +187,10 @@ def main(argv=None):
         trainer.init_state(first)
         if cfg.load_model:
             trainer.load(cfg.load_model, resume_optimizer=False)
-        # the H2O challenge submission needs every frame: force bs=1 there
-        # (the reference also only writes it at bs=1, base_trainer.py:486)
-        eb = 1 if args.mode == "test" else cfg.eval_batch_size
+        # the H2O submission is exact at ANY eval batch: id/frame_num ride
+        # the padded batched loader and pad rows are masked out (the
+        # reference forces bs=1 for it, base_trainer.py:486)
+        eb = cfg.eval_batch_size
         acc = trainer.evaluate(
             eval_data.batches(eb, 0), vis_every=args.vis_every,
             vis_dir=os.path.join(cfg.output_path, "imgs"))

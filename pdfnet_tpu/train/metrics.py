@@ -63,13 +63,18 @@ class MetricAccumulator:
             self.sums["lms_px"] += float((per * w).sum())
         self.count += n
 
-        # H2O challenge submission (bs=1 with ids, base_trainer.py:328-335).
-        if "id" in batch and out["joints_pred"].shape[0] == 1 and w[0] > 0:
-            action = int(batch["id"][0])
-            frame = int(batch["frame_num"][0])
-            self._action_lists.setdefault(action, {})
-            self._action_lists[action][f"{frame:06d}.txt"] = (
-                out["joints_pred"].reshape(-1).tolist())
+        # H2O challenge submission (base_trainer.py:328-335 collects it at
+        # bs=1 only; keying rows by their carried id/frame_num makes the
+        # batched padded loader produce the identical dict — padded tail
+        # rows are excluded by w).
+        if "id" in batch:
+            ids = np.asarray(batch["id"]).reshape(-1)
+            frames = np.asarray(batch["frame_num"]).reshape(-1)
+            for i in range(out["joints_pred"].shape[0]):
+                if w[i] > 0:
+                    self._action_lists.setdefault(int(ids[i]), {})[
+                        f"{int(frames[i]):06d}.txt"] = (
+                        out["joints_pred"][i].reshape(-1).tolist())
 
     def result(self) -> Dict[str, float]:
         c = max(self.count, 1)

@@ -203,6 +203,28 @@ def test_score_block_shape_matches_checked_in_reference_file():
         assert len(val.rstrip("\n").split(".")[1]) == 2
 
 
+def test_h2o_submission_identical_bs1_vs_batched(tmp_path):
+    """A padded batched eval writes the exact hand_poses.json of a bs=1 run
+    (the reference can only produce it at bs=1, base_trainer.py:486)."""
+    stream = _fake_eval_stream()
+    acc1 = MetricAccumulator()
+    for out, batch in stream:
+        acc1.update(out, batch)
+    accB = MetricAccumulator()
+    out = {k: np.concatenate([o[k] for o, _ in stream] + [stream[0][0][k]])
+           for k in stream[0][0]}
+    batch = {k: np.concatenate([b[k] for _, b in stream] + [stream[0][1][k]])
+             for k in stream[0][1]}
+    batch["pad_mask"] = np.array([1] * 7 + [0], np.float32)
+    accB.update(out, batch)
+    p1 = os.path.join(tmp_path, "bs1.json")
+    pB = os.path.join(tmp_path, "batched.json")
+    acc1.write_h2o_submission(p1)
+    accB.write_h2o_submission(pB)
+    with open(p1) as f1, open(pB) as fB:
+        assert f1.read() == fB.read()
+
+
 def test_h2o_submission_json_matches_reference_writer(tmp_path):
     stream = _fake_eval_stream()
     _, _, ref_dict = _reference_oracle(stream)

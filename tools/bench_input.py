@@ -71,6 +71,7 @@ def make_tree(root: str, n: int = 8) -> str:
             "lms": np.concatenate(lms_all).astype(np.float32),
             "joints": np.concatenate(joints_all).astype(np.float32),
             "K": K,
+            "id": 1 + i // 4,      # H2O action id (submission grouping)
         })
     with open(os.path.join(root, "H2O_train.pkl"), "wb") as f:
         pickle.dump(records, f)
