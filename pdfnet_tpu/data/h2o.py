@@ -185,7 +185,9 @@ class H2ODataset:
         with open(cache, "rb") as f:
             data = pickle.load(f, encoding="latin1")
         for item in data:
-            item["dataset"] = DATASET_INDEX[name]
+            # datasets without a dedicated index (OneHand10K, HO3Dv3, ...)
+            # fall into the reference's 'Others' bucket (joint_dataset.py:20)
+            item["dataset"] = DATASET_INDEX.get(name, DATASET_INDEX["Others"])
             item["imgpath"] = os.path.join(name, item["imgpath"])
             if "depthpath" in item:
                 item["depthpath"] = os.path.join(name, item["depthpath"])

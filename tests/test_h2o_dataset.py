@@ -400,3 +400,42 @@ def test_ho3d_branch(tmp_path):
     # depth produced a real cloud for the right hand
     assert np.abs(s["cloud"][1]).sum() > 0
     assert np.all(s["cloud"][0] == 0)
+
+
+def test_onehand10k_branch(tmp_path):
+    """OneHand10K format: single right hand (red mask), and the reference's
+    own split slicing — test = [:1000] + [-1000:], train = [1000:-1000]
+    (joint_dataset.py:107-114)."""
+    from pdfnet_tpu.data.h2o import H2ODataset
+
+    records = _single_hand_tree(tmp_path, "OneHand10K", with_depth=True,
+                                with_mask=True)
+    with open(tmp_path / "OneHand10K_test.pkl", "wb") as f:
+        pickle.dump(records, f)
+    cfg = Config(cache_path=str(tmp_path), pre_fix=str(tmp_path),
+                 dataset="OneHand10K", sample_num=256)
+    ds = H2ODataset(cfg, "test")
+    # [:1000] + [-1000:] on 3 records -> all 3 twice (reference semantics)
+    assert len(ds) == 6
+    s = ds.__getitem__(0)
+    assert s["input"].shape == (384, 384, 3)
+    # red mask decoded into the RIGHT channel slot ([right, left] order)
+    assert s["mask"][..., 0].sum() > 0 and s["mask"][..., 1].sum() == 0
+    assert s["valid"][1] == 1 and s["valid"][0] == 0
+    assert np.abs(s["cloud"][1]).sum() > 0 and np.all(s["cloud"][0] == 0)
+    assert np.isfinite(s["hm"]).all() and s["hm"].max() > 0.9
+
+
+def test_onehand10k_train_slice_excludes_test_rows():
+    """Slice math on a synthetic 2500-record list (joint_dataset.py:107-114):
+    train = [1000:-1000], test = [:1000] + [-1000:]."""
+    from pdfnet_tpu.data.h2o import H2ODataset
+
+    recs = list(range(2500))
+    train = H2ODataset._slice_split(recs, "OneHand10K", "train")
+    test = H2ODataset._slice_split(recs, "OneHand10K", "test")
+    ev = H2ODataset._slice_split(recs, "OneHand10K", "eval")
+    assert train == recs[1000:-1000]
+    assert test == recs[:1000] + recs[-1000:]
+    assert ev == recs
+    assert not (set(train) & set(test))
