@@ -477,35 +477,39 @@ def test_bn_stat_groups_emulates_ddp_replicas(setup):
     new_state, stats = step(state, jb, jnp.asarray(0), lr, rng)
     assert int(new_state.step) == 1
 
-    # Replay group 0 by hand: apply on the first half-batch with group 0's
-    # dropout rng; its mutated batch_stats must equal the kept stats, and
-    # the mean of the two per-half losses must equal the reported loss.
-    rngs = jax.random.split(rng, 2)
-    halves, losses = [], []
-    for g in range(2):
-        bg = {k: v[g:g + 1] for k, v in jb.items()}
-        variables = {"params": state.params,
-                     "batch_stats": state.batch_stats}
-        outs, mutated = model.apply(
-            variables, bg["input"], bg["choose"], bg["cloud"], bg["depth"],
-            bg["ind"], bg["K_new"], bg["valid"], train=True,
-            rngs={"dropout": rngs[g]}, mutable=["batch_stats"])
-        loss_g, _ = compute_loss(cfg_g, consts, *outs, bg, jnp.asarray(0),
-                                 "train")
-        halves.append(mutated["batch_stats"])
-        losses.append(float(loss_g))
-    # jit(grad(vmap(...))) vs eager apply differ in f32 reduction order;
-    # at loss magnitude ~1e4 that is ~2e-5 relative (a wrong grouping —
-    # e.g. global-batch BN — shifts the loss by orders more, and is also
-    # caught by the stats assertions below).
+    # Replay the two groups by hand, structurally independent of the step
+    # (a python loop over half-batch slices instead of the step's vmap),
+    # but under jit so f32 reduction order matches the compiled step:
+    # group 0's mutated batch_stats must equal the kept stats, and the
+    # mean of the two per-half losses must equal the reported loss.
+    def replay(params, batch_stats, batch, rng_, epoch):
+        rngs = jax.random.split(rng_, 2)
+        losses_, bs0 = [], None
+        for g in range(2):
+            bg = {k: v[g:g + 1] for k, v in batch.items()}
+            variables = {"params": params, "batch_stats": batch_stats}
+            outs, mutated = model.apply(
+                variables, bg["input"], bg["choose"], bg["cloud"],
+                bg["depth"], bg["ind"], bg["K_new"], bg["valid"],
+                train=True, rngs={"dropout": rngs[g]},
+                mutable=["batch_stats"])
+            loss_g, _ = compute_loss(cfg_g, consts, *outs, bg, epoch,
+                                     "train")
+            losses_.append(loss_g)
+            if g == 0:
+                bs0 = mutated["batch_stats"]
+        return jnp.stack(losses_).mean(), bs0
+
+    mean_loss, halves0 = jax.jit(replay)(
+        state.params, state.batch_stats, jb, rng, jnp.asarray(0))
     np.testing.assert_allclose(float(stats["loss"]),
-                               np.mean(losses), rtol=2e-4)
-    ref0 = jax.tree.leaves(halves[0])
+                               float(mean_loss), rtol=1e-5)
+    ref0 = jax.tree.leaves(halves0)
     got = jax.tree.leaves(new_state.batch_stats)
     assert len(ref0) == len(got) and len(got) > 0
     for a, b in zip(got, ref0):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                   rtol=1e-4, atol=1e-5)
+                                   rtol=1e-5, atol=1e-5)
     # and differs from the global-batch stats a plain step would produce
     plain = make_train_step(cfg, model, consts, donate=False)
     ns_plain, _ = plain(state, jb, jnp.asarray(0), lr, rng)
