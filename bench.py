@@ -23,6 +23,9 @@ def main():
     ap.add_argument("--knn", default="pallas_sa",
                     choices=["topk", "approx", "pallas", "pallas_fused",
                              "pallas_sa"])
+    ap.add_argument("--fused_trunk", default=False,
+                    action=argparse.BooleanOptionalAction,
+                    help="Pallas fused resnet blocks at eval")
     ap.add_argument("--self_contained", action="store_true",
                     help="bench the single-pass RGB-D serving path "
                          "(infer_rgbd: no host clouds, mask->cloud in-graph)")
@@ -42,7 +45,8 @@ def main():
     from pdfnet_tpu.train.step import make_eval_step
 
     cfg = Config(default_resolution=args.res, batch_size=args.batch,
-                 compute_dtype="bfloat16", knn_method=args.knn)
+                 compute_dtype="bfloat16", knn_method=args.knn,
+                 fused_trunk=args.fused_trunk)
     model = build_model(cfg)
     consts = load_loss_consts()
 

@@ -124,6 +124,9 @@ class Config:
     # pallas_sa additionally fuses the per-level MLP + max-pool into the
     # grouping kernel at eval (training always uses the pallas_fused path).
     knn_method: str = "pallas_sa"
+    # eval-only Pallas fused resnet bottleneck blocks (BN folded, one HBM
+    # read+write per block); training / non-TPU backends keep the flax path
+    fused_trunk: bool = False
     # compute non-hm CenterNet heads only at the 2 hand centers via gathered
     # 3x3 patches (exact; ret[head] becomes (B, 2, C) instead of a full map)
     patch_heads: bool = False

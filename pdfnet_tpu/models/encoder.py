@@ -14,7 +14,8 @@ import jax
 import jax.numpy as jnp
 
 from pdfnet_tpu.models.layers import (CenterHead, ConvActBN, L2Norm,
-                                      PyramidDecoder, SFTLayer, StridedUpConv)
+                                      PyramidDecoder, SFTLayer, StridedUpConv,
+                                      depth_to_space)
 from pdfnet_tpu.models.pointnet import PointNetPlus
 from pdfnet_tpu.models.resnet import ResNet
 from pdfnet_tpu.ops.gather import gather_patches
@@ -43,6 +44,7 @@ class FPNEncoder(nn.Module):
     gather_method: str = "take"
     patch_heads: bool = False         # non-hm heads only at the 2 centers
     bn_frozen: bool = False           # frozen-BN fine-tuning: running stats
+    fused_trunk: bool = False         # Pallas fused resnet blocks at eval
     # reference quirk: the encoder's test-time decode NMSes the RAW hm
     # logits (intaghand_encoder.py:750-758), so suppressed pixels (exactly 0
     # after heat*keep) outrank any peak whose logit is negative (p < 0.5) —
@@ -85,6 +87,7 @@ class FPNEncoder(nn.Module):
                                 dtype=self.dtype, name="e_conv1")(img))
 
         stem, x4, x3, x2, x1 = ResNet(bn_frozen=self.bn_frozen,
+                                      fused_eval=self.fused_trunk,
                                       dtype=self.dtype,
                                       name="resnet")(img, train)
         pw_l1 = stem                       # (B, H/2, W/2, 64)
@@ -98,6 +101,10 @@ class FPNEncoder(nn.Module):
         # p4/p5 have kernel == stride: StridedUpConv computes the identical
         # conv-transpose as a matmul + depth-to-space (~10x faster on MXU
         # for the 12x12-input p5; same params, checkpoint-compatible).
+        # (Tried and reverted, round 3: commuting the L2Norms BEFORE the
+        # depth-to-space — exact, grouped — measures ~20 fps SLOWER e2e:
+        # XLA's matmul+d2s+norm fusion beats the clean-layout norm + a
+        # separate d2s copy.  L2Norm(groups=...) remains available.)
         p4 = StridedUpConv(gd, 4, dtype=self.dtype, name="p4")(x2)
         p5 = StridedUpConv(gd, 8, dtype=self.dtype, name="p5")(x1)
         p2 = L2Norm(name="p2_l2")(p2)

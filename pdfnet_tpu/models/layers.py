@@ -42,16 +42,40 @@ class SFTLayer(nn.Module):
 
 
 class L2Norm(nn.Module):
-    """Per-pixel channel L2 normalization with a learned per-channel gain."""
+    """Per-pixel channel L2 normalization with a learned per-channel gain.
+
+    ``groups=G`` normalizes each of G contiguous channel chunks
+    independently with the same (C/G)-sized gain.  Used to commute the
+    norm BEFORE a depth-to-space: each output pixel's channel vector IS
+    one chunk of the pre-d2s tensor, so grouped-norm-then-d2s is exactly
+    d2s-then-norm (same values, same reduction order) while the heavy
+    reduce runs on the clean matmul-output layout instead of the 5-D
+    d2s-bitcast layout XLA otherwise fuses it into.
+    """
 
     scale_init: float = 10.0
+    groups: int = 1
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
+        C = x.shape[-1] // self.groups
         gamma = self.param("weight", nn.initializers.constant(self.scale_init),
-                           (x.shape[-1],))
-        norm = jnp.sqrt(jnp.sum(x * x, axis=-1, keepdims=True)) + 1e-10
-        return x / norm * gamma
+                           (C,))
+        if self.groups == 1:
+            norm = jnp.sqrt(jnp.sum(x * x, axis=-1, keepdims=True)) + 1e-10
+            return x / norm * gamma
+        xg = x.reshape(*x.shape[:-1], self.groups, C)
+        norm = jnp.sqrt(jnp.sum(xg * xg, axis=-1, keepdims=True)) + 1e-10
+        return (xg / norm * gamma).reshape(x.shape)
+
+
+def depth_to_space(y: jax.Array, f: int, features: int) -> jax.Array:
+    """(B, H, W, f*f*C) -> (B, H*f, W*f, C), channel chunk (a*f+b) landing
+    at output pixel (h*f+a, w*f+b)."""
+    B, H, W, _ = y.shape
+    y = y.reshape(B, H, W, f, f, features)
+    return (y.transpose(0, 1, 3, 2, 4, 5)
+            .reshape(B, H * f, W * f, features))
 
 
 class StridedUpConv(nn.Module):
@@ -65,10 +89,15 @@ class StridedUpConv(nn.Module):
     lowers a small-spatial conv-transpose (e.g. 12x12 input, k=s=8) to a
     ~17 TFLOP/s kernel, while the equivalent (B*H*W, Cin) x (Cin, f*f*Cout)
     matmul runs at ~190 TFLOP/s on v5e — a ~10x speedup on the FPN p5 path.
+
+    ``pre_d2s=True`` returns the (B, H, W, f*f*features) tensor BEFORE the
+    depth-to-space (bias already added per chunk) so a grouped L2Norm can
+    run on the clean matmul layout; finish with :func:`depth_to_space`.
     """
 
     features: int
     factor: int
+    pre_d2s: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -83,6 +112,9 @@ class StridedUpConv(nn.Module):
         # (f,f,cin,out) -> (cin, f*f*out); dot; then depth-to-space
         k = k.transpose(2, 0, 1, 3).reshape(cin, f * f * self.features)
         y = x.reshape(B * H * W, cin).astype(self.dtype) @ k
+        if self.pre_d2s:
+            y = y.reshape(B, H, W, f * f * self.features)
+            return y + jnp.tile(bias.astype(y.dtype), f * f)
         y = y.reshape(B, H, W, f, f, self.features)
         y = y.transpose(0, 1, 3, 2, 4, 5).reshape(B, H * f, W * f,
                                                   self.features)

@@ -87,16 +87,26 @@ class ResNet(nn.Module):
     (64ch at /2) and runs only maxpool + the four stages — used by the CSP
     uv-prior branch, which replaces the 7x7 stem with its own fusion
     (resnet_csp.py:456-462).
+
+    ``fused_eval=True`` runs the first three bottleneck stages through the
+    Pallas fused-block kernel at inference (ops/pallas_trunk.py): BN folded
+    into the convs, one HBM read + one write per residual block instead of
+    ~5 conv/elementwise passes.  Training, init, basic blocks, and non-TPU
+    backends keep the flax path; the parameter tree is identical either
+    way (the fused path reads the same variables).
     """
 
     stage_sizes: Sequence[int] = (3, 4, 6, 3)
     block: str = "bottleneck"         # bottleneck | basic
     skip_stem: bool = False
     bn_frozen: bool = False           # frozen-BN fine-tuning: running stats
+    fused_eval: bool = False          # Pallas fused blocks at inference
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool) -> Tuple[jax.Array, ...]:
+        from pdfnet_tpu.ops import pallas_trunk
+
         bn_train = train and not self.bn_frozen
         if self.skip_stem:
             stem = x
@@ -113,14 +123,33 @@ class ResNet(nn.Module):
         outs = []
         widths = (64, 128, 256, 512)
         basic = self.block == "basic"
+        interp = pallas_trunk._TRUNK_INTERPRET
+        fuse_trunk = (self.fused_eval and not train and not basic
+                      and not self.is_initializing()
+                      and (jax.default_backend() == "tpu" or interp))
         for i, (n_blocks, w) in enumerate(zip(self.stage_sizes, widths)):
             for b in range(n_blocks):
                 stride = 2 if (b == 0 and i > 0) else 1
                 project = (b == 0) if not basic else (b == 0 and i > 0)
-                cls = BasicBlock if basic else Bottleneck
-                y = cls(width=w, stride=stride, project=project,
-                        bn_frozen=self.bn_frozen, dtype=self.dtype,
-                        name=f"layer{i + 1}_{b}")(y, train)
+                # Fuse only where the Pallas block beats XLA on-chip
+                # (profiled, round 3): stride-1 bottlenecks at width>=128
+                # run ~2x faster fused (one HBM read+write, full-K MXU
+                # dots); layer1's 64-wide dots and the stride-2 blocks'
+                # subsample relayouts lose to XLA — keep those on flax.
+                if (fuse_trunk and stride == 1 and w >= 128
+                        and i < 3):
+                    v = self.variables
+                    name = f"layer{i + 1}_{b}"
+                    folded = pallas_trunk.fold_bottleneck(
+                        v["params"][name], v["batch_stats"][name])
+                    y = pallas_trunk.fused_bottleneck(
+                        y, folded, stride=1, project=project,
+                        interpret=interp)
+                else:
+                    cls = BasicBlock if basic else Bottleneck
+                    y = cls(width=w, stride=stride, project=project,
+                            bn_frozen=self.bn_frozen, dtype=self.dtype,
+                            name=f"layer{i + 1}_{b}")(y, train)
             outs.append(y)
         # stem (pre-maxpool), layer1..layer4
         return (stem, *outs)

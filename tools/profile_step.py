@@ -67,6 +67,8 @@ def main():
     ap.add_argument("--iters", type=int, default=8)
     ap.add_argument("--res", type=int, default=384)
     ap.add_argument("--out", default="/tmp/prof_tpu")
+    ap.add_argument("--fused_trunk", default=None, action="store_true",
+                    help="override Config.fused_trunk")
     ap.add_argument("--summarize_only", action="store_true")
     args = ap.parse_args()
 
@@ -89,6 +91,8 @@ def main():
 
     cfg = Config(default_resolution=args.res, batch_size=args.batch,
                  compute_dtype="bfloat16")
+    if args.fused_trunk is not None:
+        cfg = cfg.replace(fused_trunk=args.fused_trunk)
     model = build_model(cfg)
     consts = load_loss_consts()
 
