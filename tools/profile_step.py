@@ -62,7 +62,8 @@ def trace_summary(trace_dir: str, top: int = 35):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--what", default="eval", choices=["eval", "train"])
+    ap.add_argument("--what", default="eval",
+                    choices=["eval", "train", "infer"])
     ap.add_argument("--batch", type=int, default=48)
     ap.add_argument("--iters", type=int, default=8)
     ap.add_argument("--res", type=int, default=384)
@@ -125,7 +126,24 @@ def main():
     dev = jax.devices()[0]
 
     jb = {k: jnp.asarray(v) for k, v in batch.items()}
-    if args.what == "eval":
+    if args.what == "infer":
+        # self-contained RGB-D serving path (single trunk pass, predicted
+        # centers/masks, clouds built in-graph — models/handnet.infer_rgbd)
+        from pdfnet_tpu.models.handnet import infer_rgbd
+        variables = jax.device_put(variables, dev)
+        prng = jax.random.PRNGKey(0)
+
+        @jax.jit
+        def fn(v, inp, depth, K, val):
+            result, params, hand_dicts, other = infer_rgbd(
+                model, v, inp, depth, K, val, prng)
+            return (result["verts3d"]["left"], result["verts3d"]["right"],
+                    params["root"]["left"], params["root"]["right"],
+                    other["ind"])
+
+        run = lambda: fn(variables, jb["input"], jb["depth"], jb["K_new"],
+                         jb["valid"])
+    elif args.what == "eval":
         variables = jax.device_put(variables, dev)
         fn = make_eval_step(cfg, model, consts)
         run = lambda: fn(variables["params"],
