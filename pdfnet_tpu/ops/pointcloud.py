@@ -46,14 +46,27 @@ def _sample_one_hand(depth_masked: jax.Array, xyz_flat: jax.Array,
         # — exactly the reference's depth2pcl with its np.random.shuffle
         # removed (intaghand_encoder.py:404-426: sorted nonzero() indices,
         # first-1024 subset / 'wrap' pad).  Reproducible serving; also the
-        # cross-framework parity fixture's sampling mode.
-        pri = sel.astype(jnp.float32)      # top_k ties break to lower index
+        # cross-framework parity fixture's sampling mode.  Exact top_k:
+        # the tie-break to the lowest index IS the semantics here.
+        pri = sel.astype(jnp.float32)
+        _, order = jax.lax.top_k(pri, num_points)           # selected first
+        n_eff = n_valid
     else:
-        # Random priorities over selected pixels; top-k = uniform subset.
+        # Random priorities over selected pixels; taking the top-k of iid
+        # uniforms is a uniform random subset.  approx_max_k replaces the
+        # full 147k-element sort (measured 14 ms/step at batch 48 on the
+        # serving path — the single largest op) with TPU's one-pass
+        # bin-max reduction at ~10x less cost.  Any approximate top set of
+        # iid priorities is still a uniform subset; the only behavioral
+        # difference is sparse hands (fewer in-band pixels than
+        # num_points), where the wrap padding cycles over the ~recall
+        # fraction of them that the approximation returns.
         pri = jax.random.uniform(key, z.shape) + sel.astype(jnp.float32) * 2.0
-    _, order = jax.lax.top_k(pri, num_points)               # selected first
+        vals, order = jax.lax.approx_max_k(pri, num_points,
+                                           recall_target=0.95)
+        n_eff = (vals > 2.0).sum()     # selected entries form a prefix
     pos = jnp.arange(num_points)
-    wrapped = jnp.where(pos < n_valid, pos, pos % jnp.maximum(n_valid, 1))
+    wrapped = jnp.where(pos < n_eff, pos, pos % jnp.maximum(n_eff, 1))
     choose = order[wrapped]
 
     ok = (n_valid >= min_pixels)
