@@ -154,3 +154,27 @@ def test_strided_upconv_equals_convtranspose():
         out = up.apply(v, x)   # same param tree
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    atol=1e-5)
+
+
+def test_fused_trunk_full_model_matches_default(model_and_vars, monkeypatch):
+    """Full HandNet forward with BOTH interpret-mode Pallas eval paths on
+    (fused_trunk + pallas_sa) matches the plain XLA path on the same
+    variables — guards the kernels' interaction inside the real graph."""
+    from pdfnet_tpu.ops import grouping, pallas_trunk
+
+    cfg, model, variables, inputs = model_and_vars
+    with jax.default_matmul_precision("highest"):
+        ref = model.apply(variables, *map(jnp.asarray, inputs), train=False)
+
+        monkeypatch.setattr(pallas_trunk, "_TRUNK_INTERPRET", True)
+        monkeypatch.setattr(grouping, "_FUSED_INTERPRET", True)
+        fused = build_model(
+            cfg.replace(fused_trunk=True, knn_method="pallas_sa")).apply(
+            variables, *map(jnp.asarray, inputs), train=False)
+
+    ref_l, fused_l = jax.tree.leaves(ref), jax.tree.leaves(fused)
+    assert len(ref_l) == len(fused_l)
+    for a, b in zip(ref_l, fused_l):
+        if np.asarray(a).dtype.kind == "f":
+            np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                       atol=2e-4, rtol=2e-4)
