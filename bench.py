@@ -16,7 +16,7 @@ BASELINE_FPS = 500.0
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--batch", type=int, default=48)
+    ap.add_argument("--batch", type=int, default=96)
     ap.add_argument("--iters", type=int, default=60)
     ap.add_argument("--warmup", type=int, default=3)
     ap.add_argument("--res", type=int, default=384)
