@@ -26,6 +26,9 @@ def main():
     ap.add_argument("--fused_trunk", default=False,
                     action=argparse.BooleanOptionalAction,
                     help="Pallas fused resnet blocks at eval")
+    ap.add_argument("--s2d_stem", default=False,
+                    action=argparse.BooleanOptionalAction,
+                    help="stem conv via space-to-depth (exact)")
     ap.add_argument("--self_contained", action="store_true",
                     help="bench the single-pass RGB-D serving path "
                          "(infer_rgbd: no host clouds, mask->cloud in-graph)")
@@ -46,7 +49,7 @@ def main():
 
     cfg = Config(default_resolution=args.res, batch_size=args.batch,
                  compute_dtype="bfloat16", knn_method=args.knn,
-                 fused_trunk=args.fused_trunk)
+                 fused_trunk=args.fused_trunk, s2d_stem=args.s2d_stem)
     model = build_model(cfg)
     consts = load_loss_consts()
 

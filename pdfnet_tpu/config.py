@@ -127,6 +127,9 @@ class Config:
     # eval-only Pallas fused resnet bottleneck blocks (BN folded, one HBM
     # read+write per block); training / non-TPU backends keep the flax path
     fused_trunk: bool = False
+    # stem 7x7/s2 conv computed as an exact 4x4 conv over a 2x2
+    # space-to-depth input (Cin 3 -> 12: 4x the MXU contraction depth)
+    s2d_stem: bool = False
     # compute non-hm CenterNet heads only at the 2 hand centers via gathered
     # 3x3 patches (exact; ret[head] becomes (B, 2, C) instead of a full map)
     patch_heads: bool = False

@@ -45,6 +45,7 @@ class FPNEncoder(nn.Module):
     patch_heads: bool = False         # non-hm heads only at the 2 centers
     bn_frozen: bool = False           # frozen-BN fine-tuning: running stats
     fused_trunk: bool = False         # Pallas fused resnet blocks at eval
+    s2d_stem: bool = False            # stem conv via space-to-depth (exact)
     # reference quirk: the encoder's test-time decode NMSes the RAW hm
     # logits (intaghand_encoder.py:750-758), so suppressed pixels (exactly 0
     # after heat*keep) outrank any peak whose logit is negative (p < 0.5) —
@@ -88,6 +89,7 @@ class FPNEncoder(nn.Module):
 
         stem, x4, x3, x2, x1 = ResNet(bn_frozen=self.bn_frozen,
                                       fused_eval=self.fused_trunk,
+                                      s2d_stem=self.s2d_stem,
                                       dtype=self.dtype,
                                       name="resnet")(img, train)
         pw_l1 = stem                       # (B, H/2, W/2, 64)

@@ -53,7 +53,7 @@ class HandNet(nn.Module):
             input_feature_num=cfg.input_feature_num,
             knn_method=cfg.knn_method, gather_method=cfg.gather_method,
             patch_heads=cfg.patch_heads, bn_frozen=cfg.freeze_bn_stats,
-            fused_trunk=cfg.fused_trunk,
+            fused_trunk=cfg.fused_trunk, s2d_stem=cfg.s2d_stem,
             raw_center_decode=cfg.replicate_reference_quirks,
             dtype=dtype, name="encoder")
 

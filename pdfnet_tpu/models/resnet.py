@@ -80,6 +80,28 @@ class BasicBlock(nn.Module):
         return nn.relu(y + shortcut)
 
 
+def _s2d_stem_conv(img: jax.Array, k7: jax.Array, dtype) -> jax.Array:
+    """The 7x7/stride-2 stem conv as a 4x4/stride-1 conv over a 2x2
+    space-to-depth input — exact (same sums, PyTorch/flax cross-correlation
+    semantics), same (7,7,3,64) parameter.
+
+    Cin=3 convs run the MXU at <10% (K=3 contractions); packing the 2x2
+    pixel phases into 12 channels quadruples the contraction depth at
+    identical FLOPs.  Derivation: pad K7 to K8 with a zero row/col at
+    index 0, split output-tap dy'=2u+a — out(i,j) taps s2d rows i+u-2,
+    u in [0,4), phases a — i.e. a 4x4 conv with padding (2,1).
+    """
+    B, H, W, C = img.shape
+    k8 = jnp.pad(k7, ((1, 0), (1, 0), (0, 0), (0, 0)))      # (8,8,3,64)
+    k12 = (k8.reshape(4, 2, 4, 2, 3, -1).transpose(0, 2, 1, 3, 4, 5)
+           .reshape(4, 4, 12, -1))
+    s = (img.reshape(B, H // 2, 2, W // 2, 2, C)
+         .transpose(0, 1, 3, 2, 4, 5).reshape(B, H // 2, W // 2, 4 * C))
+    return jax.lax.conv_general_dilated(
+        s.astype(dtype), k12.astype(dtype), (1, 1), [(2, 1), (2, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
 class ResNet(nn.Module):
     """ResNet-v1; bottleneck (50/101/152) or basic (18/34) blocks.
 
@@ -101,6 +123,7 @@ class ResNet(nn.Module):
     skip_stem: bool = False
     bn_frozen: bool = False           # frozen-BN fine-tuning: running stats
     fused_eval: bool = False          # Pallas fused blocks at inference
+    s2d_stem: bool = False            # stem conv via space-to-depth (exact)
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -111,9 +134,13 @@ class ResNet(nn.Module):
         if self.skip_stem:
             stem = x
         else:
-            stem = nn.Conv(64, (7, 7), strides=(2, 2),
-                           padding=[(3, 3), (3, 3)], use_bias=False,
-                           dtype=self.dtype, name="conv1")(x)
+            if self.s2d_stem and not self.is_initializing():
+                k7 = self.variables["params"]["conv1"]["kernel"]
+                stem = _s2d_stem_conv(x, k7, self.dtype)
+            else:
+                stem = nn.Conv(64, (7, 7), strides=(2, 2),
+                               padding=[(3, 3), (3, 3)], use_bias=False,
+                               dtype=self.dtype, name="conv1")(x)
             stem = nn.BatchNorm(use_running_average=not bn_train,
                                 momentum=0.9, epsilon=1e-5, dtype=self.dtype,
                                 name="bn1")(stem)

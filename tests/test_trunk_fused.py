@@ -98,3 +98,18 @@ def test_fused_trunk_ignored_at_train_and_init(monkeypatch):
     for a, b in zip(jax.tree.leaves(mut_ref), jax.tree.leaves(mut_fused)):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                    atol=1e-6, rtol=1e-6)
+
+
+def test_s2d_stem_matches_conv7x7():
+    """s2d_stem computes the exact same stem (same (7,7,3,64) parameter)
+    as the standard 7x7/stride-2 conv — checkpoint-compatible rewrite."""
+    rng = np.random.RandomState(4)
+    x = jnp.asarray(rng.randn(2, 64, 64, 3).astype(np.float32))
+    variables = ResNet().init({"params": jax.random.PRNGKey(0)}, x,
+                              train=False)
+    with jax.default_matmul_precision("highest"):
+        ref = ResNet().apply(variables, x, train=False)
+        got = ResNet(s2d_stem=True).apply(variables, x, train=False)
+    for a, b in zip(ref, got):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   atol=2e-5, rtol=1e-5)
