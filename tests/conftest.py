@@ -17,6 +17,16 @@ if "collective_call_terminate_timeout" not in flags:
     # grad all-reduce is easily minutes — raise both timeouts.
     flags += (" --xla_cpu_collective_call_warn_stuck_timeout_seconds=300"
               " --xla_cpu_collective_call_terminate_timeout_seconds=1800")
+if "xla_cpu_max_isa" not in flags:
+    # Cap codegen at AVX2: without this, XLA:CPU's AOT cache entries embed
+    # the compile host's full AVX-512 set plus LLVM tuning pseudo-features
+    # (prefer-no-gather/-scatter) that host feature detection never
+    # reports, so every persistent-cache load E-logs a machine-mismatch /
+    # possible-SIGILL warning and entries are not portable across hosts.
+    # AVX2-capped code loads silently on any modern x86 host and also
+    # compiles measurably faster on this 1-vCPU box.  NOTE: XLA_FLAGS are
+    # part of the cache key — changing this line forces a cold rebuild.
+    flags += " --xla_cpu_max_isa=AVX2"
 os.environ["XLA_FLAGS"] = flags
 
 import jax  # noqa: E402
