@@ -41,12 +41,18 @@ def align_by_trafo(mtx: np.ndarray, trafo) -> np.ndarray:
     return (mtx - t2) / s2 @ R.T * scale + t1
 
 
-def align_scale_trans(mtx1: np.ndarray, mtx2: np.ndarray) -> np.ndarray:
-    """Scale + translation (no rotation) alignment of mtx2 to mtx1."""
-    t1, t2 = mtx1.mean(0), mtx2.mean(0)
-    s1 = np.linalg.norm(mtx1 - t1) + 1e-8
-    s2 = np.linalg.norm(mtx2 - t2) + 1e-8
-    return (mtx2 - t2) * (s1 / s2) + t1
+def align_sc_tr(mtx1: np.ndarray, mtx2: np.ndarray) -> np.ndarray:
+    """Scale + translation (no rotation) alignment of mtx2 to mtx1, exactly
+    as the reference protocol defines it (eval.py:75-93): the scale is the
+    ratio of the |joint4 - joint0| bone lengths (not a Frobenius-norm fit)
+    and the translation pins the wrist (row 0) to the ground truth wrist."""
+    pred = np.asarray(mtx2).copy()
+    s = np.sqrt(np.sum(np.square(pred[4] - pred[0])))
+    if s > 0:
+        pred = pred / s
+    s_gt = np.sqrt(np.sum(np.square(mtx1[4] - mtx1[0])))
+    pred = pred * s_gt
+    return (pred - pred[0:1, :]) + mtx1[0:1, :]
 
 
 class EvalUtil:
@@ -73,22 +79,31 @@ class EvalUtil:
         return float((d <= threshold).mean())
 
     def get_measures(self, val_min: float, val_max: float, steps: int):
-        """Returns (mean, median, auc, pck_curve_all, thresholds)."""
+        """Returns (mean, median, auc, pck_curve_all, thresholds).
+
+        Aggregation matches the reference exactly (eval_util.py:53-94):
+        ``mean``/``median`` are the mean over keypoints of the per-keypoint
+        mean/median (NOT statistics of the pooled distances — with unequal
+        per-keypoint counts these differ), AUC is the mean of per-keypoint
+        trapezoid areas, and keypoints with no fed samples are skipped from
+        all three.
+        """
         thresholds = np.linspace(val_min, val_max, steps)
         norm = np.trapezoid(np.ones_like(thresholds), thresholds)
 
-        pck_curves = []
-        aucs = []
+        means, medians, aucs, pck_curves = [], [], [], []
         for kp in range(self.num_kp):
+            d = np.asarray(self.data[kp])
+            if len(d) == 0:
+                continue
+            means.append(d.mean())
+            medians.append(np.median(d))
             pck = np.array([self._pck(kp, t) for t in thresholds])
             pck_curves.append(pck)
-            if not np.isnan(pck).any():
-                aucs.append(np.trapezoid(pck, thresholds) / norm)
-        all_d = np.concatenate([np.asarray(d) for d in self.data if d])
+            aucs.append(np.trapezoid(pck, thresholds) / norm)
         pck_all = np.mean(np.stack(pck_curves), axis=0)
-        return (float(all_d.mean()), float(np.median(all_d)),
-                float(np.mean(aucs)) if aucs else float("nan"),
-                pck_all, thresholds)
+        return (float(np.mean(means)), float(np.mean(medians)),
+                float(np.mean(aucs)), pck_all, thresholds)
 
 
 # ---------------------------------------------------------------------------
@@ -180,16 +195,26 @@ def calculate_fscore(gt: np.ndarray, pred: np.ndarray,
 def score_predictions(gt_xyz_list, gt_verts_list, pred_xyz_list,
                       pred_verts_list, output_dir: Optional[str] = None,
                       f_threshs: Sequence[float] = (0.005, 0.015),
+                      f_scores: bool = True,
                       ) -> Dict[str, float]:
     """FreiHAND-protocol scorer (reference eval.py:205-383 ``main``).
 
     Computes raw / Procrustes-aligned / scale-translation-aligned keypoint
-    errors and mesh errors (+F-scores), writes ``scores.txt`` with the same
-    keys as the reference and the HTML curve report.  Inputs are sequences
-    of (21, 3) xyz and (778, 3) verts arrays in meters.  ``scores.txt`` is
-    opened in append mode like the reference (eval.py:352), so repeated runs
-    into one output_dir accumulate blocks; use a fresh dir per run if a
-    single-block file is required.
+    errors and mesh errors, writes ``scores.txt`` with the same keys as the
+    reference and the HTML curve report.  Inputs are sequences of (21, 3)
+    xyz and (778, 3) verts arrays in meters.  ``scores.txt`` is opened in
+    append mode like the reference (eval.py:352), so repeated runs into one
+    output_dir accumulate blocks; use a fresh dir per run if a single-block
+    file is required.
+
+    ``f_scores``: the reference declares f_threshs but leaves the F-score
+    computation commented out (eval.py:301-307), so its scores.txt carries
+    exactly the 10 keypoint/mesh keys.  We compute real F-scores by default
+    (beyond parity); pass ``f_scores=False`` for a reference-identical key
+    set.  The 10 shared keys are numerically identical either way,
+    including the reference's quirk of writing ``-100.0`` (−1 × the cm
+    conversion, eval.py:353-366) for the mesh means when predictions are
+    not MANO-topology.
     """
     assert len(gt_xyz_list) == len(pred_xyz_list), "Expected format mismatch."
     assert len(gt_verts_list) == len(pred_verts_list), \
@@ -199,6 +224,8 @@ def score_predictions(gt_xyz_list, gt_verts_list, pred_xyz_list,
     eval_mesh, eval_mesh_al = EvalUtil(num_kp=778), EvalUtil(num_kp=778)
     f_score = [[] for _ in f_threshs]
     f_score_al = [[] for _ in f_threshs]
+    # Latched on the first sample, exactly like the reference (eval.py:257).
+    shape_is_mano: Optional[bool] = None
 
     for xyz, verts, xyz_pred, verts_pred in zip(
             gt_xyz_list, gt_verts_list, pred_xyz_list, pred_verts_list):
@@ -206,10 +233,11 @@ def score_predictions(gt_xyz_list, gt_verts_list, pred_xyz_list,
         xyz_pred, verts_pred = np.asarray(xyz_pred), np.asarray(verts_pred)
         vis21 = np.ones_like(xyz[:, 0])
         vis778 = np.ones_like(verts[:, 0])
-        shape_is_mano = verts_pred.shape[0] == verts.shape[0]
+        if shape_is_mano is None:
+            shape_is_mano = verts_pred.shape[0] == verts.shape[0]
 
         eval_xyz.feed(xyz, vis21, xyz_pred)
-        eval_xyz_sc.feed(xyz, vis21, align_scale_trans(xyz, xyz_pred))
+        eval_xyz_sc.feed(xyz, vis21, align_sc_tr(xyz, xyz_pred))
         xyz_pred_al = align_w_scale(xyz, xyz_pred)
         eval_xyz_pa.feed(xyz, vis21, xyz_pred_al)
 
@@ -220,14 +248,16 @@ def score_predictions(gt_xyz_list, gt_verts_list, pred_xyz_list,
         else:
             trafo = align_w_scale(xyz, xyz_pred, return_trafo=True)
             verts_pred_al = align_by_trafo(verts_pred, trafo)
-        for i, t in enumerate(f_threshs):
-            f_score[i].append(calculate_fscore(verts, verts_pred, t)[0])
-            f_score_al[i].append(calculate_fscore(verts, verts_pred_al, t)[0])
+        if f_scores:
+            for i, t in enumerate(f_threshs):
+                f_score[i].append(calculate_fscore(verts, verts_pred, t)[0])
+                f_score_al[i].append(
+                    calculate_fscore(verts, verts_pred_al, t)[0])
 
     xyz_m, _, xyz_auc, pck_xyz, th = eval_xyz.get_measures(0.0, 0.05, 100)
     pa_m, _, pa_auc, pck_pa, th_pa = eval_xyz_pa.get_measures(0.0, 0.05, 100)
     sc_m, _, sc_auc, pck_sc, th_sc = eval_xyz_sc.get_measures(0.0, 0.05, 100)
-    if eval_mesh.data[0]:
+    if shape_is_mano and eval_mesh.data[0]:
         mesh_m, _, mesh_auc, pck_mesh, th_mesh = \
             eval_mesh.get_measures(0.0, 0.05, 100)
         mal_m, _, mal_auc, pck_mal, th_mal = \
@@ -237,21 +267,24 @@ def score_predictions(gt_xyz_list, gt_verts_list, pred_xyz_list,
         pck_mesh = pck_mal = np.array([-1.0, -1.0])
         th_mesh = th_mal = np.array([0.0, 1.0])
 
-    # scores.txt with the reference's exact keys (cm units, eval.py:350-371)
+    # scores.txt with the reference's exact keys and unit conversions
+    # (cm via unconditional ×100, eval.py:350-371)
     scores = {
         "xyz_mean3d": xyz_m * 100, "xyz_auc3d": xyz_auc,
         "xyz_procrustes_al_mean3d": pa_m * 100,
         "xyz_procrustes_al_auc3d": pa_auc,
         "xyz_scale_trans_al_mean3d": sc_m * 100,
         "xyz_scale_trans_al_auc3d": sc_auc,
-        "mesh_mean3d": mesh_m * 100 if mesh_m >= 0 else -1.0,
+        "mesh_mean3d": mesh_m * 100,
         "mesh_auc3d": mesh_auc,
-        "mesh_al_mean3d": mal_m * 100 if mal_m >= 0 else -1.0,
+        "mesh_al_mean3d": mal_m * 100,
         "mesh_al_auc3d": mal_auc,
     }
-    for i, t in enumerate(f_threshs):
-        scores[f"f_score_{round(t * 1000)}"] = float(np.mean(f_score[i]))
-        scores[f"f_al_score_{round(t * 1000)}"] = float(np.mean(f_score_al[i]))
+    if f_scores:
+        for i, t in enumerate(f_threshs):
+            scores[f"f_score_{round(t * 1000)}"] = float(np.mean(f_score[i]))
+            scores[f"f_al_score_{round(t * 1000)}"] = \
+                float(np.mean(f_score_al[i]))
 
     if output_dir is not None:
         os.makedirs(output_dir, exist_ok=True)

@@ -238,3 +238,164 @@ def test_h2o_submission_json_matches_reference_writer(tmp_path):
     # identical schema AND values (json round-trips the reference dict too,
     # matching base_trainer.py:486-489's json.dump)
     assert ours == json.loads(json.dumps(ref_dict))
+
+
+# ---------------------------------------------------------------------------
+# FreiHAND-protocol scorer parity (reference lib/utils/eval.py:205-383 main
+# + eval_util.py EvalUtil + align_sc_tr/align_w_scale).  The oracle below
+# transcribes the reference math (numpy/scipy, no torch) and every
+# scores.txt key must match our kit to 1e-6.
+# ---------------------------------------------------------------------------
+
+def _ref_align_w_scale(mtx1, mtx2, return_trafo=False):
+    """Reference eval.py:96-119 verbatim math (scipy orthogonal_procrustes)."""
+    from scipy.linalg import orthogonal_procrustes
+    t1 = mtx1.mean(0)
+    t2 = mtx2.mean(0)
+    mtx1_t = mtx1 - t1
+    mtx2_t = mtx2 - t2
+    s1 = np.linalg.norm(mtx1_t) + 1e-8
+    mtx1_t /= s1
+    s2 = np.linalg.norm(mtx2_t) + 1e-8
+    mtx2_t /= s2
+    R, s = orthogonal_procrustes(mtx1_t, mtx2_t)
+    mtx2_t = np.dot(mtx2_t, R.T) * s
+    mtx2_t = mtx2_t * s1 + t1
+    if return_trafo:
+        return R, s, s1, s2, t1, t2
+    return mtx2_t
+
+
+def _ref_align_sc_tr(mtx1, mtx2):
+    """Reference eval.py:75-93 verbatim math."""
+    predCurr = mtx2.copy()
+    s = np.sqrt(np.sum(np.square(predCurr[4] - predCurr[0])))
+    if s > 0:
+        predCurr = predCurr / s
+    sGT = np.sqrt(np.sum(np.square(mtx1[4] - mtx1[0])))
+    predCurr = predCurr * sGT
+    predCurrRel = predCurr - predCurr[0:1, :]
+    return predCurrRel + mtx1[0:1, :]
+
+
+class _RefEvalUtil:
+    """Reference eval_util.py:4-94 math: per-keypoint accumulation with
+    mean-of-per-keypoint-means aggregation and per-keypoint AUC."""
+
+    def __init__(self, num_kp=21):
+        self.data = [list() for _ in range(num_kp)]
+        self.num_kp = num_kp
+
+    def feed(self, gt, vis, pred):
+        dist = np.sqrt(np.sum(np.square(gt - pred), axis=1))
+        for i in range(gt.shape[0]):
+            if vis[i]:
+                self.data[i].append(dist[i])
+
+    def get_measures(self, val_min, val_max, steps):
+        thresholds = np.linspace(val_min, val_max, steps)
+        norm_factor = np.trapezoid(np.ones_like(thresholds), thresholds)
+        epe_mean_all, auc_all, pck_curve_all = [], [], []
+        for part_id in range(self.num_kp):
+            if len(self.data[part_id]) == 0:
+                continue
+            d = np.array(self.data[part_id])
+            epe_mean_all.append(np.mean(d))
+            pck_curve = np.array(
+                [np.mean((d <= t).astype("float")) for t in thresholds])
+            pck_curve_all.append(pck_curve)
+            auc_all.append(np.trapezoid(pck_curve, thresholds) / norm_factor)
+        return (np.mean(np.array(epe_mean_all)), None,
+                np.mean(np.array(auc_all)),
+                np.mean(np.array(pck_curve_all), 0), thresholds)
+
+
+def _ref_scorer(gt_xyz_list, gt_verts_list, pred_xyz_list, pred_verts_list):
+    """Reference eval.py:205-371 main() scorer math; returns the 10-key
+    scores dict exactly as written to scores.txt (cm via unconditional
+    x100, -100.0 for absent mesh means)."""
+    eval_xyz, eval_xyz_pa, eval_xyz_sc = (
+        _RefEvalUtil(), _RefEvalUtil(), _RefEvalUtil())
+    eval_mesh, eval_mesh_al = _RefEvalUtil(778), _RefEvalUtil(778)
+    shape_is_mano = None
+    for idx in range(len(pred_verts_list)):
+        xyz = np.array(gt_xyz_list[idx])
+        verts = np.array(gt_verts_list[idx])
+        xyz_pred = np.array(pred_xyz_list[idx])
+        verts_pred = np.array(pred_verts_list[idx])
+        eval_xyz.feed(xyz, np.ones_like(xyz[:, 0]), xyz_pred)
+        if shape_is_mano is None:
+            shape_is_mano = verts_pred.shape[0] == verts.shape[0]
+        if shape_is_mano:
+            eval_mesh.feed(verts, np.ones_like(verts[:, 0]), verts_pred)
+        eval_xyz_sc.feed(xyz, np.ones_like(xyz[:, 0]),
+                         _ref_align_sc_tr(xyz, xyz_pred))
+        xyz_pred_al = _ref_align_w_scale(xyz, xyz_pred)
+        if shape_is_mano:
+            verts_pred_al = _ref_align_w_scale(verts, verts_pred)
+            eval_mesh_al.feed(verts, np.ones_like(verts[:, 0]),
+                              verts_pred_al)
+        eval_xyz_pa.feed(xyz, np.ones_like(xyz[:, 0]), xyz_pred_al)
+    xyz_m, _, xyz_auc, _, _ = eval_xyz.get_measures(0.0, 0.05, 100)
+    pa_m, _, pa_auc, _, _ = eval_xyz_pa.get_measures(0.0, 0.05, 100)
+    sc_m, _, sc_auc, _, _ = eval_xyz_sc.get_measures(0.0, 0.05, 100)
+    if shape_is_mano:
+        mesh_m, _, mesh_auc, _, _ = eval_mesh.get_measures(0.0, 0.05, 100)
+        mal_m, _, mal_auc, _, _ = eval_mesh_al.get_measures(0.0, 0.05, 100)
+    else:
+        mesh_m, mesh_auc, mal_m, mal_auc = -1.0, -1.0, -1.0, -1.0
+    return {
+        "xyz_mean3d": xyz_m * 100, "xyz_auc3d": xyz_auc,
+        "xyz_procrustes_al_mean3d": pa_m * 100,
+        "xyz_procrustes_al_auc3d": pa_auc,
+        "xyz_scale_trans_al_mean3d": sc_m * 100,
+        "xyz_scale_trans_al_auc3d": sc_auc,
+        "mesh_mean3d": mesh_m * 100, "mesh_auc3d": mesh_auc,
+        "mesh_al_mean3d": mal_m * 100, "mesh_al_auc3d": mal_auc,
+    }
+
+
+def _freihand_fixtures(n=6, seed=3):
+    rng = np.random.RandomState(seed)
+    th = 0.4
+    R = np.array([[np.cos(th), -np.sin(th), 0],
+                  [np.sin(th), np.cos(th), 0], [0, 0, 1.0]])
+    gt_xyz = [rng.randn(21, 3) * 0.05 for _ in range(n)]
+    gt_verts = [rng.randn(778, 3) * 0.05 for _ in range(n)]
+    pred_xyz = [x @ R.T * 1.1 + 0.02 + rng.randn(21, 3) * 1e-3
+                for x in gt_xyz]
+    pred_verts = [v @ R.T * 1.1 + 0.02 + rng.randn(778, 3) * 1e-3
+                  for v in gt_verts]
+    return gt_xyz, gt_verts, pred_xyz, pred_verts
+
+
+def test_freihand_scorer_matches_reference_math(tmp_path):
+    from pdfnet_tpu.utils.eval_kit import score_predictions
+
+    gt_xyz, gt_verts, pred_xyz, pred_verts = _freihand_fixtures()
+    ref = _ref_scorer(gt_xyz, gt_verts, pred_xyz, pred_verts)
+    out = str(tmp_path)
+    ours = score_predictions(gt_xyz, gt_verts, pred_xyz, pred_verts,
+                             output_dir=out, f_scores=False)
+    assert set(ours) == set(ref)
+    for k, v in ref.items():
+        assert abs(ours[k] - v) < 1e-6, (k, ours[k], v)
+    # scores.txt: reference-identical key set, order, and %f formatting
+    with open(os.path.join(out, "scores.txt")) as f:
+        lines = f.read().splitlines()
+    assert lines == [f"{k}: {v:f}" for k, v in ours.items()]
+
+
+def test_freihand_scorer_non_mano_branch(tmp_path):
+    """Non-MANO-topology predictions: mesh keys carry the reference's
+    unconditional-x100 quirk (-100.0 means / -1.0 AUCs, eval.py:330-366)."""
+    from pdfnet_tpu.utils.eval_kit import score_predictions
+
+    gt_xyz, gt_verts, pred_xyz, pred_verts = _freihand_fixtures(n=3, seed=5)
+    pred_verts = [v[:400] for v in pred_verts]       # not 778 rows
+    ref = _ref_scorer(gt_xyz, gt_verts, pred_xyz, pred_verts)
+    ours = score_predictions(gt_xyz, gt_verts, pred_xyz, pred_verts,
+                             output_dir=None, f_scores=False)
+    assert ref["mesh_mean3d"] == -100.0
+    for k, v in ref.items():
+        assert abs(ours[k] - v) < 1e-6, (k, ours[k], v)

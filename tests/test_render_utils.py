@@ -7,7 +7,7 @@ import numpy as np
 from pdfnet_tpu import assets
 from pdfnet_tpu.data import augment as aug
 from pdfnet_tpu.render import rasterize_mesh, render_two_hands, sh_illumination
-from pdfnet_tpu.utils.eval_kit import EvalUtil, align_w_scale, align_scale_trans
+from pdfnet_tpu.utils.eval_kit import EvalUtil, align_w_scale, align_sc_tr
 from pdfnet_tpu.utils.vis import draw_hand_skeleton
 
 
@@ -74,9 +74,12 @@ def test_align_w_scale_recovers_transform():
     y = 1.7 * x @ R.T + np.array([0.3, -0.2, 1.0])
     aligned = align_w_scale(y, x)
     np.testing.assert_allclose(aligned, y, atol=1e-6)
-    # scale+trans alignment matches centroid and norm of the target
-    st = align_scale_trans(y, x * 2.0 + 5.0)
-    assert np.abs(st.mean(0) - y.mean(0)).max() < 1e-6
+    # bone-scale + wrist-pin alignment (reference align_sc_tr semantics):
+    # a scaled+shifted copy aligns back exactly — wrist matches GT wrist
+    # and the |j4-j0| bone length matches GT
+    st = align_sc_tr(y, y * 2.0 + 5.0)
+    np.testing.assert_allclose(st, y, atol=1e-8)
+    assert np.abs(st[0] - y[0]).max() < 1e-12
 
 
 def test_evalutil_pck_auc():
