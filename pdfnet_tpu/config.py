@@ -65,8 +65,18 @@ class Config:
     # batch/G slice; rank 0's running stats are what its checkpoints hold),
     # set bn_stat_groups=G: the train step vmaps model+loss over G groups,
     # which is the strict emulation of G DDP workers (main.py:69-79).
+    # replicate_reference_quirks also selects the reference's H2O-branch MANO
+    # GT: the left-hand shapedirs sign bug is left UNFIXED there
+    # (interhand.py:120-123 fix_shape is only called on the InterHandNew
+    # branch), so quirks-mode GT synthesis matches the reference's H2O
+    # training/eval targets bit-for-bit; default mode applies the fix.
     replicate_reference_quirks: bool = False
     bn_stat_groups: int = 0           # 0/1 = global-batch BN; G>1 = DDP-of-G
+    # Deterministic point sampling in the host data pipeline: take the first
+    # SAMPLE_NUM in-band pixels (sorted) / wrap-pad without shuffling —
+    # exactly the reference sampler with its np.random.shuffle calls removed
+    # (interhand.py:785-800).  For reproducible eval and parity testing.
+    deterministic_cloud_sampling: bool = False
 
     # ---- train ------------------------------------------------------------
     lr: float = 1e-4

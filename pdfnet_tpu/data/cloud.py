@@ -105,13 +105,20 @@ def sample_hand_cloud(
     min_pixels: int = 100,
     use_native: bool = True,
     with_normals: bool = False,
+    deterministic: bool = False,
 ) -> Tuple[np.ndarray, np.ndarray, bool]:
     """Returns (choose (N,), cloud (N, 3) — or (N, 6) xyz+normals when
-    ``with_normals`` (INPUT_FEATURE_NUM==6, interhand.py:817-838), ok)."""
+    ``with_normals`` (INPUT_FEATURE_NUM==6, interhand.py:817-838), ok).
+
+    ``deterministic``: select the first ``num_points`` in-band pixels in
+    sorted order (or wrap-pad) with no shuffle — the reference sampler
+    (interhand.py:778-800) with its two np.random.shuffle calls removed,
+    matching ops.pointcloud's deterministic device twin.  RNG is unused.
+    """
     feat = 6 if with_normals else 3
     invalid = (np.zeros(num_points, np.int64),
                np.zeros((num_points, feat), np.float32), False)
-    if use_native:
+    if use_native and not deterministic:
         from pdfnet_tpu import native
         if native.available():
             choose, cloud, ok = native.sample_hand_cloud_native(
@@ -138,10 +145,12 @@ def sample_hand_cloud(
     if len(choose) < min_pixels:
         return invalid
     if len(choose) > num_points:
-        choose = rng.choice(choose, num_points, replace=False)
+        choose = (choose[:num_points] if deterministic
+                  else rng.choice(choose, num_points, replace=False))
     else:
         choose = np.pad(choose, (0, num_points - len(choose)), "wrap")
-    rng.shuffle(choose)
+    if not deterministic:
+        rng.shuffle(choose)
     cloud = xyz[choose].astype(np.float32)
     if with_normals:
         cloud = np.concatenate(

@@ -32,12 +32,12 @@ DATASET_INDEX = {"Joint": 0, "FreiHAND": 1, "HO3D": 2, "H2O": 3, "H2O3D": 4,
                  "InterHand": 5, "RHD": 6, "Others": 7}
 
 
-def _mano_consts(side: str):
-    return mano.load_mano_consts(side)
+def _mano_consts(side: str, fix_shape: bool = True):
+    return mano.load_mano_consts(side, fix_shape=fix_shape)
 
 
-@functools.lru_cache(maxsize=2)
-def _jitted_mano_forward(side: str):
+@functools.lru_cache(maxsize=4)
+def _jitted_mano_forward(side: str, fix_shape: bool = True):
     """One jitted CPU MANO forward per hand side.
 
     The GT synthesis runs per sample inside the input pipeline; eager
@@ -46,7 +46,7 @@ def _jitted_mano_forward(side: str):
     constants; local CPU compile, so payload size is irrelevant)."""
     import jax
 
-    c = _mano_consts(side)
+    c = _mano_consts(side, fix_shape)
 
     def fwd(orient, pose, shape, trans):
         return mano.mano_forward(c, orient, pose, shape, trans=trans)
@@ -65,7 +65,8 @@ _MANO_CACHE_CHUNK = 256
 
 
 def build_mano_gt_cache(records: List[Dict], cache_path: str,
-                        tag: str) -> Optional[Dict[str, np.ndarray]]:
+                        tag: str, fix_shape: bool = True,
+                        ) -> Optional[Dict[str, np.ndarray]]:
     """Precompute per-record MANO GT (verts/joints, both hands) to a disk
     memmap, keyed by a checksum of the mano coefficients.
 
@@ -84,7 +85,9 @@ def build_mano_gt_cache(records: List[Dict], cache_path: str,
     coeffs = np.stack([np.asarray(r["mano_coeff"], np.float32).reshape(-1)
                        for r in records])                       # (R, 124)
     key = zlib.crc32(coeffs.tobytes()) & 0xFFFFFFFF
-    base = os.path.join(cache_path, f"{tag}_manogt_{len(records)}_{key:08x}")
+    sfx = "" if fix_shape else "_nofix"
+    base = os.path.join(cache_path,
+                        f"{tag}_manogt_{len(records)}_{key:08x}{sfx}")
     vp, jp = base + "_verts.npy", base + "_joints.npy"
     if not (os.path.exists(vp) and os.path.exists(jp)):
         R = len(records)
@@ -94,7 +97,7 @@ def build_mano_gt_cache(records: List[Dict], cache_path: str,
         pad = (-R) % n
         cp = np.concatenate([coeffs, np.zeros((pad, 124), np.float32)])
         for s, (side, off) in enumerate((("left", 0), ("right", 62))):
-            fwd = _jitted_mano_forward(side)
+            fwd = _jitted_mano_forward(side, fix_shape)
             for i in range(0, R + pad, n):
                 c = cp[i:i + n, off:off + 62]
                 v, j = fwd(c[:, 4:7], c[:, 7:52], c[:, 52:62], c[:, 1:4])
@@ -111,10 +114,10 @@ def build_mano_gt_cache(records: List[Dict], cache_path: str,
             "joints": np.load(jp, mmap_mode="r")}
 
 
-def mano_gt_from_coeff(coeff: np.ndarray, side: str):
+def mano_gt_from_coeff(coeff: np.ndarray, side: str, fix_shape: bool = True):
     """(62,) per-hand coeff [valid, trans3, orient3, pose45, shape10] ->
     (verts 778x3, joints 21x3) in camera space."""
-    v, j = _jitted_mano_forward(side)(
+    v, j = _jitted_mano_forward(side, fix_shape)(
         coeff[None, 4:7].astype(np.float32),
         coeff[None, 7:52].astype(np.float32),
         coeff[None, 52:62].astype(np.float32),
@@ -149,8 +152,13 @@ class H2ODataset:
             if os.path.exists(val_cache):
                 self.records += self._load(val_cache, name)
         self.records = self._slice_split(self.records, name, split)
+        # quirks mode reproduces the reference H2O branch's UNFIXED left
+        # shapedirs in GT synthesis (fix_shape only runs on the reference's
+        # InterHandNew branch, interhand.py:120-123,194)
+        self._fix_shape = not cfg.replicate_reference_quirks
         self._mano_gt = build_mano_gt_cache(
-            self.records, cfg.cache_path, f"{name}_{split}")
+            self.records, cfg.cache_path, f"{name}_{split}",
+            fix_shape=self._fix_shape)
 
     @staticmethod
     def _slice_split(records: List[Dict], name: str, split: str) -> List[Dict]:
@@ -254,7 +262,8 @@ class H2ODataset:
                     v = np.array(self._mano_gt["verts"][index, si])
                     j = np.array(self._mano_gt["joints"][index, si])
                 else:
-                    v, j = mano_gt_from_coeff(coeff[sl], side)
+                    v, j = mano_gt_from_coeff(coeff[sl], side,
+                                              self._fix_shape)
                 # invalid hands carry a zero coeff -> template hand at the
                 # origin whose z can cross 0; the projections must stay
                 # finite (a gated loss term still NaNs on inf * 0)
@@ -377,12 +386,15 @@ class H2ODataset:
         depth_b = depth * band
         n = cfg.sample_num
         normals = cfg.input_feature_num == 6
+        det = cfg.deterministic_cloud_sampling
         choose_l, cloud_l, ok_l = sample_hand_cloud(depth_b * mask_left,
                                                     K_img, n, rng,
-                                                    with_normals=normals)
+                                                    with_normals=normals,
+                                                    deterministic=det)
         choose_r, cloud_r, ok_r = sample_hand_cloud(depth_b * mask_right,
                                                     K_img, n, rng,
-                                                    with_normals=normals)
+                                                    with_normals=normals,
+                                                    deterministic=det)
         if cfg.sample_strategy == "FPS":
             if ok_l:
                 cloud_l, choose_l = fps_reorder_cloud(

@@ -93,7 +93,13 @@ def centernet_targets(
     for hand, lms, v in ((0, lms_left, valid_left), (1, lms_right, valid_right)):
         if not v or lms is None:
             continue
-        lo, hi = lms.min(axis=0), lms.max(axis=0)
+        # bbox over landmarks with BOTH coordinates positive, like the
+        # reference lms2bbox (interhand.py:45-61); zero box if none qualify
+        pos = lms[(lms[:, 0] > 0) & (lms[:, 1] > 0)]
+        if len(pos) == 0:
+            lo = hi = np.zeros(2, lms.dtype)
+        else:
+            lo, hi = pos.min(axis=0), pos.max(axis=0)
         ct = (lo + hi) / 2.0
         w = (hi[0] - lo[0]) / 0.7 / down
         h = (hi[1] - lo[1]) / 0.7 / down
