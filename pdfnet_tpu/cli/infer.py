@@ -133,10 +133,8 @@ def main(argv=None):
         np.zeros((1, 2), np.int32), np.eye(3, dtype=np.float32)[None],
         np.ones((1, 2), np.float32), train=False)
     if args.ckpt:
-        import orbax.checkpoint as ocp
-        loaded = ocp.StandardCheckpointer().restore(os.path.abspath(args.ckpt))
-        variables = {"params": loaded["params"],
-                     "batch_stats": loaded.get("batch_stats", {})}
+        from pdfnet_tpu.train.checkpoint import load_variables
+        variables = load_variables(args.ckpt, variables)
         print(f"loaded checkpoint {args.ckpt}")
 
     # params must be jit ARGUMENTS, not closure constants: closed-over

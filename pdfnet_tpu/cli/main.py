@@ -30,8 +30,9 @@ _CHOICES = {
 _HELP = {
     "arch": "resnet50 = flagship HandNet; csp_* = the legacy MANO-theta "
             "regression detector (train-only)",
-    "eval_batch_size": "eval loader batch (reference always uses 1; larger "
-                       "batches the eval forward for a big speedup)",
+    "eval_batch_size": "eval loader batch (default batched: proven exact "
+                       "via tail pad_mask and ~10x faster; set 1 for a "
+                       "reference-identical loop)",
     "bn_stat_groups": "G>1: emulate G DDP replicas exactly — each group "
                       "computes BatchNorm statistics over batch/G rows (the "
                       "reference's multi-GPU semantics); 0/1 = global-batch "

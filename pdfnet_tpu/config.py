@@ -83,10 +83,12 @@ class Config:
     lr_step: Tuple[int, ...] = (30,)
     num_epochs: int = 80
     batch_size: int = 8
-    # eval loader batch; the reference always evals at 1 (main.py:90) — a
-    # larger value batches the eval forward (big speedup; the loader drops a
-    # sub-batch tail, and the H2O submission needs 1)
-    eval_batch_size: int = 1
+    # eval loader batch; the reference always evals at 1 (main.py:90) but
+    # batched eval is proven exact here (the eval loader pads the tail and
+    # pad rows are masked out of metrics AND the H2O submission —
+    # test_train.py / test_metrics_parity.py), so default batched: ~an
+    # order of magnitude faster.  Set 1 for a reference-identical loop.
+    eval_batch_size: int = 16
     num_workers: int = 8
     start_epoch: int = 0
     optimizer: str = "Adam"

@@ -50,6 +50,12 @@ def iter_batches(
         pool = ThreadPoolExecutor(workers)      # cv2/numpy release the GIL
 
     stop = len(order) if pad_tail else len(order) - batch_size + 1
+    dropped = 0 if pad_tail else len(order) % batch_size
+    if dropped:
+        # surface the train-split samples-per-epoch deviation vs the
+        # reference DataLoader (which emits a smaller last batch instead)
+        print(f"loader: dropping {dropped}-sample tail of {len(order)} "
+              f"(static train batch {batch_size}; eval splits pad instead)")
     try:
         for i in range(0, stop, batch_size):
             idxs = [int(j) for j in order[i:i + batch_size]]

@@ -25,7 +25,7 @@ BatchNorm statistics + XLA autodiff); this kernel is forward/eval only.
 from __future__ import annotations
 
 import functools
-from typing import Any, Dict, Optional, Sequence, Tuple
+from typing import Any, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -256,7 +256,10 @@ def _pick_tile(H_out: int, W: int, Cin: int, Cw: int, Cout: int,
                + 2 * w_bytes)
         if est <= _VMEM_BUDGET:
             return T
-    return min(3, H_out)
+    # Nothing fit the budget: tile of 1 always divides H_out.  A
+    # non-divisor fallback would make the grid R = H_out // T skip the
+    # last H_out % T output rows — silent corruption, never acceptable.
+    return 1
 
 
 @functools.partial(jax.jit,
@@ -336,25 +339,8 @@ def fused_bottleneck(x: jax.Array, weights: Dict[str, jax.Array], *,
     )(*args)
 
 
-def fused_bottleneck_stages(
-        params: Dict, stats: Dict, x: jax.Array,
-        stage_sizes: Sequence[int] = (3, 4, 6, 3),
-        widths: Sequence[int] = (64, 128, 256, 512),
-        n_fused_stages: int = 3,
-        interpret: bool = False) -> Tuple[list, jax.Array]:
-    """Run the first ``n_fused_stages`` ResNet stages through the fused
-    block kernel.  Returns (stage outputs so far, current map): the caller
-    finishes the remaining stages on the flax path (layer4's folded
-    weights alone are ~12 MB — past the VMEM budget for a resident-weight
-    kernel)."""
-    outs = []
-    for i in range(n_fused_stages):
-        for b in range(stage_sizes[i]):
-            name = f"layer{i + 1}_{b}"
-            folded = fold_bottleneck(params[name], stats[name])
-            stride = 2 if (b == 0 and i > 0) else 1
-            x = fused_bottleneck(x, folded, stride=stride,
-                                 project="wp" in folded,
-                                 interpret=interpret)
-        outs.append(x)
-    return outs, x
+# NOTE: an all-stages driver (fused_bottleneck_stages) was removed: the
+# measured integration policy keeps layer1 and all stride-2 blocks on the
+# flax path (slower fused — see resnet.py and PARITY.md), so a helper that
+# fuses whole stages contradicted the shipped configuration and had no
+# callers.  models/resnet.py owns the per-block fused/flax routing.

@@ -57,10 +57,13 @@ def _sample_one_hand(depth_masked: jax.Array, xyz_flat: jax.Array,
         # full 147k-element sort (measured 14 ms/step at batch 48 on the
         # serving path — the single largest op) with TPU's one-pass
         # bin-max reduction at ~10x less cost.  Any approximate top set of
-        # iid priorities is still a uniform subset; the only behavioral
-        # difference is sparse hands (fewer in-band pixels than
-        # num_points), where the wrap padding cycles over the ~recall
-        # fraction of them that the approximation returns.
+        # iid priorities is still a uniform subset.  With
+        # recall_target=0.95 the returned selected-entry count can fall
+        # below num_points even for DENSE hands (in-band pixels colliding
+        # within approx_max_k bins), not just sparse ones; either way the
+        # n_eff prefix-wrap below cycles over the entries actually
+        # returned, so the output stays a valid (possibly
+        # duplicate-padded) hand cloud.
         pri = jax.random.uniform(key, z.shape) + sel.astype(jnp.float32) * 2.0
         vals, order = jax.lax.approx_max_k(pri, num_points,
                                            recall_target=0.95)

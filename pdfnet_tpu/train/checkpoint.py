@@ -92,6 +92,31 @@ def load_checkpoint(path: str, state: TrainState,
                       opt_state=opt_state, step=step), epoch
 
 
+def load_variables(path: str, variables):
+    """Tolerant {params, batch_stats} restore for the inference CLIs.
+
+    Same merge semantics as load_checkpoint (path+shape-matched leaves
+    overlaid onto the initialized tree, everything else kept — the
+    reference load_model's skip-on-mismatch behavior, lib/utils/
+    utils.py:63-79) but without optimizer state: demo/infer initialize
+    the model and overlay every matching checkpoint leaf.
+    """
+    path = os.path.abspath(path)
+    ckptr = ocp.StandardCheckpointer()
+    template = {"params": variables["params"],
+                "batch_stats": variables.get("batch_stats", {})}
+    try:
+        loaded = ckptr.restore(path, template)
+    except Exception:
+        # extra keys (opt_state/epoch of a trainer checkpoint) or shape
+        # drift: restore raw and merge tolerantly
+        loaded = ckptr.restore(path)
+    return {"params": _tolerant_merge(variables["params"],
+                                      loaded.get("params", {})),
+            "batch_stats": _tolerant_merge(variables.get("batch_stats", {}),
+                                           loaded.get("batch_stats", {}))}
+
+
 def latest_checkpoint(ckpt_dir: str) -> Optional[str]:
     if not os.path.isdir(ckpt_dir):
         return None

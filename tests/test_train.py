@@ -517,3 +517,34 @@ def test_bn_stat_groups_emulates_ddp_replicas(setup):
         lambda a, b: float(jnp.abs(a - b).max()),
         new_state.batch_stats, ns_plain.batch_stats)))
     assert diff > 0
+
+
+def test_load_variables_tolerant_overlay(tmp_path):
+    """Inference-CLI checkpoint restore (demo/infer --ckpt): trainer-format
+    payloads with opt_state/epoch extras load, matching leaves overlay,
+    shape-mismatched and missing leaves keep their initialized values."""
+    from pdfnet_tpu.train import checkpoint as ck
+
+    class S:
+        params = {"enc": {"w": np.ones((2, 2), np.float32) * 7,
+                          "b": np.ones((3,), np.float32) * 5},
+                  "extra_module": {"v": np.ones((4,), np.float32)}}
+        batch_stats = {"enc": {"mean": np.full((3,), 2.5, np.float32)}}
+        opt_state = {"count": np.asarray(9)}
+        step = np.asarray(9)
+
+    p = ck.save_checkpoint(str(tmp_path), S(), 4, keep=1)
+
+    variables = {
+        "params": {"enc": {"w": np.zeros((2, 2), np.float32),
+                           "b": np.zeros((5,), np.float32)}},  # shape drift
+        "batch_stats": {"enc": {"mean": np.zeros((3,), np.float32)}},
+    }
+    out = ck.load_variables(p, variables)
+    np.testing.assert_array_equal(out["params"]["enc"]["w"],
+                                  np.ones((2, 2)) * 7)      # overlaid
+    np.testing.assert_array_equal(out["params"]["enc"]["b"],
+                                  np.zeros((5,)))            # kept (mismatch)
+    np.testing.assert_array_equal(out["batch_stats"]["enc"]["mean"],
+                                  np.full((3,), 2.5))        # stats overlaid
+    assert "extra_module" not in out["params"]               # template-shaped

@@ -68,8 +68,10 @@ def main():
     ap.add_argument("--iters", type=int, default=8)
     ap.add_argument("--res", type=int, default=384)
     ap.add_argument("--out", default="/tmp/prof_tpu")
-    ap.add_argument("--fused_trunk", default=None, action="store_true",
-                    help="override Config.fused_trunk")
+    ap.add_argument("--fused_trunk", default=None,
+                    action=argparse.BooleanOptionalAction,
+                    help="override Config.fused_trunk (--no-fused_trunk "
+                         "forces it off; unset = Config default)")
     ap.add_argument("--summarize_only", action="store_true")
     args = ap.parse_args()
 
