@@ -192,18 +192,24 @@ def main(argv=None):
         # the padded batched loader and pad rows are masked out (the
         # reference forces bs=1 for it, base_trainer.py:486)
         eb = cfg.eval_batch_size
+        # striped over processes (1/N of the split each), partial sums and
+        # submission rows merged cross-process; process 0 writes the files
         acc = trainer.evaluate(
-            eval_data.batches(eb, 0), vis_every=args.vis_every,
+            eval_data.batches(eb, 0, process_index=jax.process_index(),
+                              process_count=jax.process_count()),
+            vis_every=args.vis_every if jax.process_index() == 0 else 0,
             vis_dir=os.path.join(cfg.output_path, "imgs"))
-        block = acc.format_block(cfg.exp_id)
-        print(block)
-        os.makedirs(cfg.output_path, exist_ok=True)
-        with open(os.path.join(cfg.output_path,
-                               f"{cfg.dataset}-val.txt"), "a") as f:
-            f.write(block)
-        if args.mode == "test":
-            acc.write_h2o_submission(
-                os.path.join(cfg.output_path, "hand_poses.json"))
+        acc.all_reduce()
+        if jax.process_index() == 0:
+            block = acc.format_block(cfg.exp_id)
+            print(block)
+            os.makedirs(cfg.output_path, exist_ok=True)
+            with open(os.path.join(cfg.output_path,
+                                   f"{cfg.dataset}-val.txt"), "a") as f:
+                f.write(block)
+            if args.mode == "test":
+                acc.write_h2o_submission(
+                    os.path.join(cfg.output_path, "hand_poses.json"))
 
 
 if __name__ == "__main__":

@@ -52,6 +52,7 @@ class Config:
     bone_dir_weight: float = 200.0
     wh_weight: float = 20.0
     off_weight: float = 100.0         # opts.py:102 (off_hm/off_lms terms)
+    norm_weight: float = 1000.0       # opts.py:142 (NormLoss pose/shape prior)
     use_wh_loss: bool = False         # wh term is commented out in the ref
     num_stacks: int = 1
     # Reproduce the reference's numerics exactly for strict parity runs:
@@ -132,6 +133,11 @@ class Config:
     # in ascending order instead of a uniform random subset (reproducible
     # serving; matches the reference's depth2pcl with its shuffles removed)
     sample_deterministic: bool = False
+    # random-sampler approx_max_k candidate-pool size (ops/pointcloud.py):
+    # 0.9 sorts 18432 candidates/hand instead of 0.95's 36864 (half the
+    # serving-path sort cost) at a slightly higher duplicate-pad rate for
+    # hands near the 1024-pixel threshold
+    sample_recall_target: float = 0.9
     # topk | approx | pallas | pallas_fused | pallas_sa
     # pallas_sa additionally fuses the per-level MLP + max-pool into the
     # grouping kernel at eval (training always uses the pallas_fused path).

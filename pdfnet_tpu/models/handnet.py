@@ -74,7 +74,8 @@ class HandNet(nn.Module):
                 with_normals=cfg.input_feature_num == 6,
                 fps_levels=((cfg.sample_num_level1, cfg.sample_num_level2)
                             if cfg.sample_strategy == "FPS" else None),
-                deterministic=cfg.sample_deterministic)
+                deterministic=cfg.sample_deterministic,
+                recall_target=cfg.sample_recall_target)
             fuse = encoder(None, cloud.astype(jnp.float32), choose, ind_used,
                            train, mode="point", cached=cached)
             img_fmaps = [fuse, cached["x2"], cached["x3"], cached["x4"]]

@@ -61,12 +61,22 @@ class L2Norm(nn.Module):
         C = x.shape[-1] // self.groups
         gamma = self.param("weight", nn.initializers.constant(self.scale_init),
                            (C,))
+        # The reduction runs in f32 for stability, but the elementwise
+        # normalize/gain stays in the input dtype: the f32 gamma would
+        # otherwise promote the whole output to f32, and at batch 96 the
+        # four promoted 96x96x96x256 pyramid levels cost ~5.5 ms/step of
+        # f32 HBM traffic just to be cast straight back to bf16 at the
+        # feat-conv input (values are bf16-quantized there either way).
+        f32 = jnp.float32
+        g = gamma.astype(x.dtype)
         if self.groups == 1:
-            norm = jnp.sqrt(jnp.sum(x * x, axis=-1, keepdims=True)) + 1e-10
-            return x / norm * gamma
+            xf = x.astype(f32)
+            norm = jnp.sqrt(jnp.sum(xf * xf, axis=-1, keepdims=True)) + 1e-10
+            return x / norm.astype(x.dtype) * g
         xg = x.reshape(*x.shape[:-1], self.groups, C)
-        norm = jnp.sqrt(jnp.sum(xg * xg, axis=-1, keepdims=True)) + 1e-10
-        return (xg / norm * gamma).reshape(x.shape)
+        xf = xg.astype(f32)
+        norm = jnp.sqrt(jnp.sum(xf * xf, axis=-1, keepdims=True)) + 1e-10
+        return (xg / norm.astype(x.dtype) * g).reshape(x.shape)
 
 
 def depth_to_space(y: jax.Array, f: int, features: int) -> jax.Array:

@@ -19,7 +19,7 @@ import jax
 import jax.numpy as jnp
 
 from pdfnet_tpu.models.layers import SFTLayer
-from pdfnet_tpu.ops.gather import gather_pixels
+from pdfnet_tpu.ops.gather import gather_pixels_2d
 from pdfnet_tpu.ops import grouping
 from pdfnet_tpu.ops.grouping import group_points, group_points_level2
 
@@ -98,7 +98,10 @@ class PointNetPlus(nn.Module):
         fold = lambda t: t.reshape(B * H, *t.shape[2:])
 
         # Level 0 fusion: condition raw xyz on full-res RGB features.
-        pw_l0 = gather_pixels(emb[0], choose.reshape(B, H * N))
+        # gather_pixels_2d indexes the NHWC maps by (row, col) directly —
+        # the flat-index variant forces a relayout copy of each full map
+        # (measured 4.6 ms/step at batch 96 for the l1/l2 maps).
+        pw_l0 = gather_pixels_2d(emb[0], choose.reshape(B, H * N))
         pw_l0 = fold(pw_l0.reshape(B, H, N, -1))                    # (BH, N, 3)
         pts = SFTLayer(emb[0].shape[-1], self.input_feature_num, self.dtype,
                        name="sft0")(fold(points), pw_l0)
@@ -107,10 +110,10 @@ class PointNetPlus(nn.Module):
         # halving of the flat index; intaghand_encoder.py:125-128).
         c_half = (choose // res // 2) * (res // 2) + choose % res // 2
         c_quart = (choose // res // 4) * (res // 4) + choose % res // 4
-        pw_l1 = gather_pixels(
+        pw_l1 = gather_pixels_2d(
             emb[1], c_half[:, :, :self.num_level1].reshape(B, -1))
         pw_l1 = fold(pw_l1.reshape(B, H, self.num_level1, -1))      # (BH,512,64)
-        pw_l2 = gather_pixels(
+        pw_l2 = gather_pixels_2d(
             emb[2], c_quart[:, :, :self.num_level2].reshape(B, -1))
         pw_l2 = fold(pw_l2.reshape(B, H, self.num_level2, -1))      # (BH,128,256)
 

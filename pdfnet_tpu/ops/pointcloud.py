@@ -26,12 +26,18 @@ BAND = 0.08
 MIN_PIXELS = 10
 
 
-def _sample_one_hand(depth_masked: jax.Array, xyz_flat: jax.Array,
-                     key: jax.Array, num_points: int,
-                     normals_flat: Optional[jax.Array] = None,
-                     min_pixels: int = MIN_PIXELS,
-                     deterministic: bool = False):
-    """depth_masked: (HW,) masked metric depth; xyz_flat: (HW, 3)."""
+def _choose_one_hand(depth_masked: jax.Array, key: jax.Array,
+                     num_points: int, min_pixels: int = MIN_PIXELS,
+                     deterministic: bool = False,
+                     recall_target: float = 0.9):
+    """Select ``num_points`` in-band pixel indices from (HW,) masked depth.
+
+    Returns (choose (num_points,) int32, ok scalar bool).  Pure index
+    selection — backprojection happens at the chosen pixels only (the
+    serving-path profile showed materializing + gathering the full 147k x 3
+    xyz map per hand cost ~6 ms/step at batch 96; lifting 1024 rays is
+    equivalent math on 0.7% of the pixels).
+    """
     z = depth_masked
     nonzero = z != 0.0
     n_nonzero = nonzero.sum()
@@ -57,16 +63,22 @@ def _sample_one_hand(depth_masked: jax.Array, xyz_flat: jax.Array,
         # full 147k-element sort (measured 14 ms/step at batch 48 on the
         # serving path — the single largest op) with TPU's one-pass
         # bin-max reduction at ~10x less cost.  Any approximate top set of
-        # iid priorities is still a uniform subset.  With
-        # recall_target=0.95 the returned selected-entry count can fall
-        # below num_points even for DENSE hands (in-band pixels colliding
-        # within approx_max_k bins), not just sparse ones; either way the
-        # n_eff prefix-wrap below cycles over the entries actually
-        # returned, so the output stays a valid (possibly
-        # duplicate-padded) hand cloud.
+        # iid priorities is still a uniform subset.  The returned
+        # selected-entry count can fall below num_points even for DENSE
+        # hands (in-band pixels colliding within approx_max_k bins), not
+        # just sparse ones; either way the n_eff prefix-wrap below cycles
+        # over the entries actually returned, so the output stays a valid
+        # (possibly duplicate-padded) hand cloud.  recall_target sets the
+        # candidate-set size XLA sorts (147456 -> 36864/18432/5120 at
+        # 0.95/0.9/0.8); the serving profile at batch 96 showed the 0.95
+        # sorts cost 4.8 ms/step, so the default trades a slightly higher
+        # duplicate rate on small (~1k-pixel) hands for half that.
+        # (bf16 priorities were tried to halve sort bytes: the TPU sort
+        # comparator runs SLOWER on bf16 keys — measured +0.6 ms/step at
+        # batch 96 — so priorities stay f32.)
         pri = jax.random.uniform(key, z.shape) + sel.astype(jnp.float32) * 2.0
         vals, order = jax.lax.approx_max_k(pri, num_points,
-                                           recall_target=0.95)
+                                           recall_target=recall_target)
         n_eff = (vals > 2.0).sum()     # selected entries form a prefix
     pos = jnp.arange(num_points)
     wrapped = jnp.where(pos < n_eff, pos, pos % jnp.maximum(n_eff, 1))
@@ -74,11 +86,23 @@ def _sample_one_hand(depth_masked: jax.Array, xyz_flat: jax.Array,
 
     ok = (n_valid >= min_pixels)
     choose = jnp.where(ok, choose, 0).astype(jnp.int32)
-    cloud = jnp.where(ok, xyz_flat[choose], 0.0)
-    if normals_flat is not None:
-        nrm = jnp.where(ok, normals_flat[choose], 0.0)
-        cloud = jnp.concatenate([cloud, nrm], axis=-1)
-    return choose, cloud, ok
+    return choose, ok
+
+
+def _backproject_at(choose: jax.Array, z: jax.Array, K_inv: jax.Array,
+                    W: int) -> jax.Array:
+    """Lift chosen flat pixel indices + their depths to camera-space xyz.
+
+    Bitwise-identical to ``backproject_depth(...)``'s value at those pixels
+    (same [x, y, 1] ray construction, HIGHEST-precision K_inv contraction,
+    then ray * z — gather and multiply commute elementwise).
+    """
+    u = (choose % W).astype(jnp.float32)
+    v = (choose // W).astype(jnp.float32)
+    pix = jnp.stack([u, v, jnp.ones_like(u)], axis=-1)       # (N, 3)
+    rays = jnp.einsum("ij,nj->ni", K_inv, pix,
+                      precision=jax.lax.Precision.HIGHEST)
+    return rays * z[:, None]
 
 
 def depth_to_hand_clouds(
@@ -92,6 +116,7 @@ def depth_to_hand_clouds(
     min_pixels: int = MIN_PIXELS,
     fps_levels: Optional[Tuple[int, int]] = None,
     deterministic: bool = False,
+    recall_target: float = 0.9,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Returns (choose (B, 2, N) int32, cloud (B, 2, N, 3|6), ok (B, 2)).
 
@@ -99,11 +124,17 @@ def depth_to_hand_clouds(
     each hand's cloud + indices (--sample_strategy FPS at inference time).
     ``deterministic`` replaces the uniform random subset with the first
     num_points in-band pixels in ascending order (reproducible serving).
+    ``recall_target`` tunes the random sampler's approx_max_k candidate
+    pool (see _choose_one_hand); ignored when deterministic.
     """
     B, H, W = depth.shape
-    band = ((depth > Z_MIN) & (depth < Z_MAX)).astype(depth.dtype)
-    depth_b = depth * band
-    hard_mask = (mask > 0.5).astype(depth.dtype)
+    # bool mask + where instead of f32 multiplies: the per-hand masked
+    # depth chain reads these tensors several times (band mean, selection,
+    # priorities), and bool intermediates are 4x cheaper HBM traffic than
+    # f32 0/1 masks
+    band = (depth > Z_MIN) & (depth < Z_MAX)
+    depth_b = jnp.where(band, depth, 0.0)
+    hard_mask = mask > 0.5
 
     K_inv = jnp.linalg.inv(K)
     keys = jax.random.split(key, B * 2).reshape(B, 2, 2)
@@ -111,14 +142,17 @@ def depth_to_hand_clouds(
     def per_sample(d, m, ki, kk, v):
         out_c, out_p, out_ok = [], [], []
         for h in range(2):
-            dm = d * m[..., h]
-            xyz = backproject_depth(dm, ki)                  # (H, W, 3)
-            nrm_flat = None
+            dm_flat = jnp.where(m[..., h], d, 0.0).reshape(-1)
+            c, ok = _choose_one_hand(dm_flat, kk[h], num_points,
+                                     min_pixels, deterministic,
+                                     recall_target)
+            p = jnp.where(ok, _backproject_at(c, dm_flat[c], ki, W), 0.0)
             if with_normals:
-                nrm_flat = depth_normals(xyz).reshape(-1, 3)
-            c, p, ok = _sample_one_hand(
-                dm.reshape(-1), xyz.reshape(-1, 3), kk[h], num_points,
-                nrm_flat, min_pixels, deterministic)
+                # Normals need the 5x5 plane-fit neighborhood, so this
+                # (non-default) path still lifts the full map.
+                xyz = backproject_depth(dm_flat.reshape(d.shape), ki)
+                nrm = depth_normals(xyz).reshape(-1, 3)[c]
+                p = jnp.concatenate([p, jnp.where(ok, nrm, 0.0)], axis=-1)
             if fps_levels is not None:
                 from pdfnet_tpu.ops.fps import fps_two_level_order
                 order = fps_two_level_order(p[:, :3], *fps_levels)

@@ -69,14 +69,14 @@ def focal_loss(pred: jax.Array, gt: jax.Array,
     num_pos = pos.sum(axis=axes)
     pos_s, neg_s = pos_l.sum(axis=axes), neg_l.sum(axis=axes)
     if batch_global_guard:
-        # Strict reference numerics (losses.py _neg_loss :138-165): one
-        # scalar -(Σpos + Σneg)/Σnum_pos over the whole batch, falling back
-        # to -Σneg only when the WHOLE batch has zero positives.  Returned
-        # scaled per-sample so the caller's .mean() recovers the scalar.
-        B = pred.shape[0]
+        # Strict reference numerics (losses.py _neg_loss :137-164):
+        # per-sample -(pos + neg)/(num_pos + 1e-3), falling back to -neg
+        # only when the WHOLE batch has zero positives (the guard is
+        # batch-global, the normalization per-sample — a zero-positive
+        # sample inside a mixed batch still hits the 1e-3 epsilon spike).
         total_pos = num_pos.sum()
         per = jnp.where(total_pos == 0, -neg_s,
-                        -(pos_s + neg_s) * B / jnp.maximum(total_pos, 1.0))
+                        -(pos_s + neg_s) / (num_pos + 1e-3))
         return per
     # Per-sample guard (default): a zero-positive sample falls back to the
     # raw negative term instead of dividing by the 1e-3 epsilon (a 1000x

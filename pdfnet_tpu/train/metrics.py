@@ -80,6 +80,44 @@ class MetricAccumulator:
         c = max(self.count, 1)
         return {k: v / c for k, v in self.sums.items()}
 
+    def all_reduce(self) -> "MetricAccumulator":
+        """Merge per-process partial accumulators across JAX processes.
+
+        With the eval split striped over hosts (loader ``process_index`` /
+        ``process_count``, the DistributedSampler role), each process holds
+        the sums over its own records; this sums ``sums``/``count`` and
+        unions the per-action H2O submission rows (stripes are disjoint, so
+        a plain union is exact).  Collective: every process must call it.
+        No-op in single-process runs.  Returns self.
+        """
+        import jax
+        if jax.process_count() == 1:
+            return self
+        from jax.experimental import multihost_utils
+        vec = np.array([self.sums[k] for k in self.KEYS] + [self.count],
+                       np.float32)
+        total = np.asarray(multihost_utils.process_allgather(vec),
+                           np.float64).sum(axis=0)
+        self.sums = {k: float(total[i]) for i, k in enumerate(self.KEYS)}
+        self.count = float(total[len(self.KEYS)])
+
+        # Submission rows are ragged python dicts: exchange them as
+        # length-prefixed JSON bytes via two fixed-shape allgathers.
+        payload = np.frombuffer(
+            json.dumps(self._action_lists).encode(), np.uint8)
+        sizes = np.asarray(multihost_utils.process_allgather(
+            np.array([payload.size], np.int32))).reshape(-1)
+        padded = np.zeros(int(sizes.max()), np.uint8)
+        padded[:payload.size] = payload
+        gathered = np.asarray(multihost_utils.process_allgather(padded))
+        merged: Dict[int, Dict] = {}
+        for p in range(gathered.shape[0]):
+            part = json.loads(gathered[p, :int(sizes[p])].tobytes().decode())
+            for action, frames in part.items():
+                merged.setdefault(int(action), {}).update(frames)
+        self._action_lists = merged
+        return self
+
     # reference H2O-val.txt line names (base_trainer.py:420-429)
     _REF_NAMES = (("abs_left_joints_loss_all", "abs_mpjpe_left"),
                   ("abs_right_joints_loss_all", "abs_mpjpe_right"),

@@ -170,14 +170,15 @@ def make_csp_train_step(cfg: Config, model, consts, donate: bool = True):
 
     def train_step(state: TrainState, batch: Dict[str, jax.Array],
                    epoch: jax.Array, lr: jax.Array, rng: jax.Array):
-        del epoch, rng                   # no epoch gates / dropout on csp
+        del rng                          # no dropout on csp
 
         def loss_fn(params):
             variables = {"params": params, "batch_stats": state.batch_stats}
             ret, mutated = model.apply(variables, batch["input"],
                                        batch["depth"], True,
                                        mutable=["batch_stats"])
-            loss, stats = csp_loss(cfg, consts, ret, batch)
+            # epoch drives the origforward alpha gate (quirks path only)
+            loss, stats = csp_loss(cfg, consts, ret, batch, epoch)
             return loss, (stats, mutated["batch_stats"])
 
         grads, (stats, new_bs) = jax.grad(loss_fn, has_aux=True)(state.params)

@@ -299,8 +299,9 @@ def fit(cfg: Config, train_data, eval_data=None, log_dir: str = "outputs/logs",
     Multi-host aware (the reference's torch.distributed.launch + rank-0
     gating, main.py:69-173): each process loads its stripe of the global
     batch (loader striping + make_array_from_process_local_data in
-    shard_batch), file I/O happens on process 0 only, and every process
-    runs the (jit-replicated) eval so no collective deadlocks.
+    shard_batch), eval is striped the same way with the partial
+    MetricAccumulators summed via allgather (all processes participate —
+    the collective IS the barrier), and file I/O happens on process 0 only.
     """
     P, pi = jax.process_count(), jax.process_index()
     local_bs = (mesh_lib.process_local_batch_size(cfg.batch_size)
@@ -333,7 +334,14 @@ def fit(cfg: Config, train_data, eval_data=None, log_dir: str = "outputs/logs",
             f"({time.time() - t0:.1f}s, lr={lr_at_epoch(cfg, epoch):.2e})")
         if (eval_data is not None and trainer.eval_step is not None
                 and eval_every > 0 and (epoch + 1) % eval_every == 0):
-            acc = trainer.evaluate(eval_data.batches(cfg.eval_batch_size, 0))
+            # eval is striped over processes like train (each process scores
+            # records pi, pi+P, ... on its local devices), then the partial
+            # accumulators are summed cross-process — N-process eval costs
+            # 1/N the wall-clock of the old fully-replicated scheme
+            acc = trainer.evaluate(
+                eval_data.batches(cfg.eval_batch_size, 0,
+                                  process_index=pi, process_count=P))
+            acc.all_reduce()
             if pi == 0:
                 block = acc.format_block(f"epoch {epoch}")
                 log(block)

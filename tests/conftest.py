@@ -71,11 +71,15 @@ def _ensure_parity_fixtures() -> None:
                  "selfcontained_inputs.npz", "selfcontained_outputs.npz")
     train_files = ("train_traj.npz", "train_batch.npz",
                    "train_state_dict.npz")
+    sched_files = ("schedule_traj.npz", "schedule_state_dict_final.npz")
     need_fwd = not all(os.path.exists(os.path.join(fdir, f))
                        for f in fwd_files)
     need_train = not all(os.path.exists(os.path.join(fdir, f))
                          for f in train_files)
-    if not (need_fwd or need_train):
+    need_sched = not all(os.path.exists(os.path.join(fdir, f))
+                         for f in sched_files)
+    need_orig = not os.path.exists(os.path.join(fdir, "origforward.npz"))
+    if not (need_fwd or need_train or need_sched or need_orig):
         return
     if os.environ.get("PDFNET_SKIP_FIXTURE_GEN") == "1":
         sys.stderr.write(
@@ -102,19 +106,33 @@ def _ensure_parity_fixtures() -> None:
            os.path.join(_REPO, "tools", "make_model_golden.py"), "--ref", ref]
     if need_train:
         cmd += ["--train_steps", "5"]
-        if not need_fwd:
-            cmd += ["--train_only"]
+    if need_sched:
+        cmd += ["--schedule"]
+    if (need_train or need_sched) and not need_fwd:
+        cmd += ["--train_only"]
     sys.stderr.write(
         f"[conftest] generating missing torch-parity fixtures into {fdir}\n"
         f"[conftest]   {' '.join(cmd)}\n"
-        f"[conftest]   (forward ~4 min, 5-step trajectory ~15 min torch-cpu;"
-        " one-time per machine; PDFNET_SKIP_FIXTURE_GEN=1 skips)\n")
+        f"[conftest]   (forward ~4 min, 5-step trajectory ~15 min, 25-step"
+        " schedule trajectory ~70 min torch-cpu; one-time per machine;"
+        " PDFNET_SKIP_FIXTURE_GEN=1 skips)\n")
     sys.stderr.flush()
-    res = subprocess.run(cmd, cwd=_REPO, timeout=3600)
+    res = subprocess.run(cmd, cwd=_REPO, timeout=10800)
     if res.returncode != 0:
         raise RuntimeError(
             f"parity fixture generation failed (rc={res.returncode}); rerun "
             f"manually: {' '.join(cmd)}")
+    if need_orig:
+        cmd2 = [sys.executable,
+                os.path.join(_REPO, "tools", "record_origforward.py"),
+                "--ref", ref]
+        sys.stderr.write("[conftest] recording origforward loss fixture: "
+                         f"{' '.join(cmd2)}\n")
+        res = subprocess.run(cmd2, cwd=_REPO, timeout=1800)
+        if res.returncode != 0:
+            raise RuntimeError(
+                f"origforward fixture generation failed "
+                f"(rc={res.returncode}); rerun manually: {' '.join(cmd2)}")
 
 
 def pytest_configure(config):

@@ -45,6 +45,46 @@ def main():
     total = jax.jit(jnp.sum)(gb["x"])
     expect = float(sum(range(4)) * 3)
     assert abs(float(total) - expect) < 1e-6, (float(total), expect)
+
+    # striped eval + MetricAccumulator.all_reduce: each process scores only
+    # its stripe of a 10-record synthetic split; after the cross-process
+    # merge the metrics and the H2O submission must equal a single-process
+    # pass over all records (trainer.fit's striped-eval scheme)
+    from pdfnet_tpu.train.metrics import MetricAccumulator
+
+    def record(i):
+        r = np.random.RandomState(100 + i)
+        out = {"joints_pred": r.randn(1, 2, 21, 3).astype(np.float32),
+               "joints_gt": r.randn(1, 2, 21, 3).astype(np.float32)}
+        for k in ("verts_pred", "verts_gt"):
+            out[k] = r.randn(1, 2, 778, 3).astype(np.float32)
+        for k in ("joints_pred_off", "joints_gt_off"):
+            out[k] = r.randn(1, 2, 21, 3).astype(np.float32)
+        for k in ("verts_pred_off", "verts_gt_off"):
+            out[k] = r.randn(1, 2, 778, 3).astype(np.float32)
+        out["lms21_pred"] = r.randn(1, 2, 21, 2).astype(np.float32)
+        batch = {"lms_left_gt": r.randn(1, 21, 2).astype(np.float32),
+                 "lms_right_gt": r.randn(1, 21, 2).astype(np.float32),
+                 "id": np.array([i % 3]), "frame_num": np.array([i])}
+        return out, batch
+
+    acc = MetricAccumulator()
+    for i in range(pid, 10, 2):                     # this process's stripe
+        out, batch = record(i)
+        acc.update(out, batch)
+    partial_count = acc.count
+    assert partial_count == 5.0
+    acc.all_reduce()
+
+    ref = MetricAccumulator()                       # full split, one pass
+    for i in range(10):
+        out, batch = record(i)
+        ref.update(out, batch)
+    assert acc.count == ref.count == 10.0
+    for k, v in ref.result().items():
+        got = acc.result()[k]
+        assert abs(got - v) < 1e-4 * max(abs(v), 1.0), (k, got, v)
+    assert acc._action_lists == ref._action_lists, "submission merge differs"
     print(f"proc {pid} multihost ok", flush=True)
 
 

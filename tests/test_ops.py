@@ -105,6 +105,18 @@ def test_gather_pixels():
             np.testing.assert_array_equal(out[b, k], flat[b, ind[b, k]])
 
 
+def test_gather_pixels_2d_matches_flat():
+    """gather_pixels_2d (row/col indexing, no relayout copy) is bit-identical
+    to gather_pixels; it is the pointnet pyramid-gather fast path."""
+    from pdfnet_tpu.ops.gather import gather_pixels_2d
+    rng = np.random.RandomState(7)
+    fmap = rng.randn(3, 6, 9, 4).astype(np.float32)
+    ind = rng.randint(0, 6 * 9, (3, 11)).astype(np.int64)
+    a = np.asarray(ops.gather_pixels(jnp.asarray(fmap), jnp.asarray(ind)))
+    b = np.asarray(gather_pixels_2d(jnp.asarray(fmap), jnp.asarray(ind)))
+    np.testing.assert_array_equal(a, b)
+
+
 def test_gather_patches_matches_padded_slice():
     """gather_patches == pad-the-whole-map + dynamic_slice, including
     window centers at the map borders (zero padding outside)."""

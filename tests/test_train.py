@@ -339,8 +339,11 @@ def test_off_head_losses(setup):
 
 
 def test_focal_loss_batch_global_quirk():
-    """replicate_reference_quirks switches the focal guard to the
-    reference's batch-global normalization (losses.py:138-165)."""
+    """replicate_reference_quirks switches the focal guard to the exact
+    reference _neg_loss (losses.py:137-164): per-sample
+    -(pos + neg)/(num_pos + 1e-3), with only the zero-positive fallback
+    batch-global — so a zero-positive sample in a mixed batch hits the
+    1e-3 epsilon spike, which the per-sample default guards against."""
     from pdfnet_tpu.train.loss import focal_loss
     rng = np.random.RandomState(0)
     pred = jnp.asarray(rng.uniform(0.01, 0.99, (3, 8, 8, 2)).astype(np.float32))
@@ -348,18 +351,24 @@ def test_focal_loss_batch_global_quirk():
     gt = gt.at[0, 2, 2, 0].set(1.0).at[1, 4, 4, 1].set(1.0)
     gt = gt.at[1, 5, 5, 0].set(1.0)  # sample 1 has 2 positives, sample 2 none
     per = focal_loss(pred, gt)
-    glob = focal_loss(pred, gt, batch_global_guard=True)
-    # torch reference semantics: scalar -(sum pos + sum neg)/num_pos_total
+    glob = np.asarray(focal_loss(pred, gt, batch_global_guard=True))
+    # numpy transcription of the reference _neg_loss
     pos = np.asarray(gt) == 1.0
     neg = ~pos
     p = np.asarray(pred)
     g = np.asarray(gt)
-    pos_l = (np.log(p) * (1 - p) ** 2 * pos).sum()
-    neg_l = (np.log(1 - p) * p ** 2 * (1 - g) ** 4 * neg).sum()
-    ref = -(pos_l + neg_l) / pos.sum()
-    assert abs(float(glob.mean()) - ref) < 1e-5
-    # and differs from the per-sample-guarded default on this mixed batch
-    assert abs(float(per.mean()) - ref) > 1e-6
+    pos_l = (np.log(p) * (1 - p) ** 2 * pos).sum(axis=(1, 2, 3))
+    neg_l = (np.log(1 - p) * p ** 2 * (1 - g) ** 4 * neg).sum(axis=(1, 2, 3))
+    num_pos = pos.sum(axis=(1, 2, 3))
+    ref = -(pos_l + neg_l) / (num_pos + 1e-3)
+    np.testing.assert_allclose(glob, ref, rtol=1e-5)
+    # the zero-positive sample spikes ~1000x under the reference semantics
+    assert glob[2] > 100 * float(per[2])
+    # whole-batch-empty fallback: -neg only, identical in both modes
+    zero_gt = jnp.zeros_like(gt) + 0.3
+    np.testing.assert_allclose(
+        np.asarray(focal_loss(pred, zero_gt, batch_global_guard=True)),
+        np.asarray(focal_loss(pred, zero_gt)), rtol=1e-6)
 
 
 def test_batched_eval_exact_with_tail_padding(setup):

@@ -107,6 +107,103 @@ def test_loss_terms_match_torch_step0(traj):
     assert checked >= 14
 
 
+@pytest.mark.skipif(
+    not os.path.exists(os.path.join(FIXTURES, "schedule_traj.npz")),
+    reason="schedule-crossing fixtures not generated "
+           "(run tools/make_model_golden.py --schedule)")
+def test_schedule_crossing_matches_torch():
+    """25 steps across BOTH schedule transitions — the lr x0.1 drop after
+    epoch 19 (main.py:137-143) and the epoch-20 alpha gate that enables the
+    edge/joints2d terms (simplified.py:609,636-644) — must reproduce the
+    torch loss trajectory and final parameter drift.  Our 0-based
+    ``lr_at_epoch`` with lr_step=(20,) equals the reference's 1-based
+    drop-after-epoch-19 rule; asserted against the recorded per-step lrs.
+
+    Tolerances: the 5-step test bounds drift at 5e-3 relative; across 25
+    steps of Adam (the last 15 at lr 1e-5) the compounded f32 divergence
+    measured ~2x that, so the trajectory bound is 1.5e-2 with the
+    transition steps themselves pinned tighter (fresh gate, small drift).
+    """
+    import jax
+    import jax.numpy as jnp
+    from pdfnet_tpu.config import Config
+    from pdfnet_tpu.models import build_model
+    from pdfnet_tpu.train.loss import load_loss_consts
+    from pdfnet_tpu.train.step import (TrainState, lr_at_epoch,
+                                       make_optimizer, make_train_step)
+    from pdfnet_tpu.utils.convert_torch import convert_state_dict
+
+    ref = dict(np.load(os.path.join(FIXTURES, "schedule_traj.npz")))
+    np_batch = dict(np.load(os.path.join(FIXTURES, "train_batch.npz")))
+    sd0 = dict(np.load(os.path.join(FIXTURES, "train_state_dict.npz")))
+
+    variables, _ = convert_state_dict(sd0, verbose=False)
+    # reference lr_step is 1-based drop-AFTER-epoch; ours is 0-based
+    # drop-FROM-epoch: same schedule at step+1
+    our_lr_step = tuple(int(s) + 1 for s in ref["lr_step"])
+    cfg = Config(default_resolution=384, compute_dtype="float32",
+                 knn_method="topk", gather_method="take", dropout=0.0,
+                 batch_size=int(ref["B"]), lr=float(ref["lr"]),
+                 lr_step=our_lr_step,
+                 replicate_reference_quirks=True, freeze_bn_stats=True)
+    model = build_model(cfg)
+    consts = load_loss_consts()
+
+    jb = {k: jnp.asarray(v) for k, v in np_batch.items()}
+    tx = make_optimizer(cfg)
+    state = TrainState(params=variables["params"],
+                       batch_stats=variables["batch_stats"],
+                       opt_state=tx.init(variables["params"]),
+                       step=jnp.zeros((), jnp.int32))
+    step = make_train_step(cfg, model, consts, donate=False)
+
+    epochs = ref["epochs"]
+    losses = []
+    rng = jax.random.PRNGKey(0)
+    for i in range(len(ref["losses"])):
+        epoch = int(epochs[i])
+        our_lr = lr_at_epoch(cfg, epoch)
+        np.testing.assert_allclose(our_lr, ref["lrs"][i], rtol=1e-9,
+                                   err_msg=f"lr schedule at step {i}")
+        state, stats = step(state, jb, jnp.asarray(epoch),
+                            jnp.asarray(our_lr, jnp.float32), rng)
+        losses.append(float(stats["loss"]))
+
+    losses = np.asarray(losses)
+    rel = np.abs(losses - ref["losses"]) / np.maximum(
+        np.abs(ref["losses"]), 1e-6)
+    assert rel[0] < 2e-4, (losses[0], ref["losses"][0])
+    # the two transition steps: first step at the dropped lr / first step
+    # with the alpha-gated terms live
+    spe = int(ref["steps_per_epoch"])
+    for tag, idx in (("lr-drop", 2 * spe), ("alpha-gate", 2 * spe)):
+        assert rel[idx] < 8e-3, (tag, losses[idx], ref["losses"][idx])
+    assert np.all(rel < 1.5e-2), list(
+        zip(range(len(rel)), losses, ref["losses"], rel))
+
+    # final parameter drift after 25 steps
+    sdf = dict(np.load(os.path.join(FIXTURES,
+                                    "schedule_state_dict_final.npz")))
+    ref_vars, _ = convert_state_dict(sdf, verbose=False)
+    flat_ref = jax.tree_util.tree_flatten_with_path(ref_vars["params"])[0]
+    flat_ours = jax.tree_util.tree_flatten_with_path(state.params)[0]
+    assert len(flat_ref) == len(flat_ours)
+    worst = (0.0, None)
+    for (pr, vr), (po, vo) in zip(flat_ref, flat_ours):
+        assert pr == po
+        keys = [getattr(k, "key", str(k)) for k in pr]
+        if len(keys) >= 2 and keys[-2] == "wk" and keys[-1] == "bias":
+            continue          # zero-gradient params: pure noise walks
+        vr, vo = np.asarray(vr), np.asarray(vo)
+        mad = float(np.mean(np.abs(vr - vo)))
+        if mad > worst[0]:
+            worst = (mad, pr)
+        # 25 steps, but 15 of them at lr 1e-5: per-element bound ~2x the
+        # 5-step test's 1.5e-3
+        assert float(np.max(np.abs(vr - vo))) < 3e-3, (pr, mad)
+    assert worst[0] < 1.5e-4, worst
+
+
 def test_param_drift_matches_torch(traj):
     """After N steps the converted torch parameters and ours agree."""
     import jax

@@ -240,6 +240,78 @@ def record_train_trajectory(ref_root, steps, lr=1e-4, B=2, seed=0,
     print(f"wrote train trajectory ({steps} steps) to {OUT_DIR}")
 
 
+def record_schedule_trajectory(ref_root, epochs=(18, 19, 20, 21, 22),
+                               steps_per_epoch=5, lr=1e-4, lr_step=(19,),
+                               B=2, seed=0):
+    """Record a torch trajectory CROSSING the training schedule transitions:
+    the lr x0.1 drop after epoch 19 (main.py:137-143 with lr_step=(19,))
+    and the epoch-20 alpha gate that switches on the edge/joints2d terms
+    (simplified.py:609,636-644).  Same init + batch as the 5-step recording
+    (torch.manual_seed(0), synthetic seed 0, frozen BN, dropout off), so it
+    reuses train_batch.npz / train_state_dict.npz; writes
+    schedule_traj.npz + schedule_state_dict_final.npz.
+    """
+    import torch
+
+    torch.manual_seed(0)
+    opt = _train_opt(B)
+    from lib.models.networks.intaghand_model import load_model_intag
+    model = load_model_intag(opt)
+    for m in model.modules():
+        if isinstance(m, torch.nn.Dropout):
+            m.p = 0.0
+    model.train()
+    for m in model.modules():                 # frozen BN (see above)
+        if isinstance(m, (torch.nn.BatchNorm1d, torch.nn.BatchNorm2d)):
+            m.eval()
+
+    from lib.models.hand3d.Mano_render import ManoRender
+    from lib.trains.simplified import CtdetLoss
+    render = ManoRender(opt)
+    loss_mod = CtdetLoss(opt, render)
+
+    np_batch, tb = _torch_batch_from_synthetic(B, seed=seed)
+    params = list(model.parameters()) + list(loss_mod.parameters())
+    optim = torch.optim.Adam(params, lr)
+
+    losses, epoch_log, lr_log = [], [], []
+    lr_step = list(lr_step)
+    for epoch in epochs:
+        for _ in range(steps_per_epoch):
+            result, paramsDict, handDictList, otherInfo = model(
+                tb["input"], tb["choose"], tb["cloud"], tb["depth"],
+                tb["ind"], tb["K_new"], tb["valid"])
+            loss, loss_stats, _, _ = loss_mod(
+                result, paramsDict, handDictList, otherInfo, tb, "train",
+                epoch)
+            loss = loss.mean()
+            optim.zero_grad()
+            loss.backward()
+            optim.step()
+            losses.append(float(loss.detach()))
+            epoch_log.append(epoch)
+            lr_log.append(optim.param_groups[0]["lr"])
+            print(f"torch ep{epoch} step {len(losses)}: "
+                  f"loss={losses[-1]:.6f} lr={lr_log[-1]:.2e}")
+        # the reference drops the LR AFTER the epoch that matches lr_step
+        # (main.py:137-143), so the next epoch trains at the new rate
+        if epoch in lr_step:
+            new_lr = lr * (0.1 ** (lr_step.index(epoch) + 1))
+            for g in optim.param_groups:
+                g["lr"] = new_lr
+
+    out = dict(losses=np.asarray(losses, np.float64),
+               epochs=np.asarray(epoch_log, np.int64),
+               lrs=np.asarray(lr_log, np.float64),
+               lr=lr, lr_step=np.asarray(lr_step, np.int64),
+               steps_per_epoch=steps_per_epoch, seed=seed, B=B,
+               freeze_bn=True)
+    np.savez(os.path.join(OUT_DIR, "schedule_traj.npz"), **out)
+    sdf = {k: v.detach().cpu().numpy() for k, v in model.state_dict().items()}
+    np.savez(os.path.join(OUT_DIR, "schedule_state_dict_final.npz"), **sdf)
+    print(f"wrote schedule trajectory ({len(losses)} steps) to {OUT_DIR}")
+
+
 def record_selfcontained(model, ref_root, file_id="000002"):
     """Record the reference's SELF-CONTAINED eval forward on a real bundled
     RGB-D pair: choose=None/ind=None, so the hand centers come from NMS+top-1
@@ -356,6 +428,9 @@ def main():
     ap.add_argument("--ref", default="/root/reference")
     ap.add_argument("--train_steps", type=int, default=0,
                     help="also record an N-step training trajectory")
+    ap.add_argument("--schedule", action="store_true",
+                    help="record the 25-step schedule-crossing trajectory "
+                         "(epochs 18-22, lr_step=(19,), alpha gate at 20)")
     ap.add_argument("--train_only", action="store_true")
     ap.add_argument("--freeze_bn", action="store_true", default=True,
                     help="record with BatchNorm in running-average mode "
@@ -370,8 +445,10 @@ def main():
     if args.train_steps:
         record_train_trajectory(args.ref, args.train_steps,
                                 freeze_bn=args.freeze_bn)
-        if args.train_only:
-            return
+    if args.schedule:
+        record_schedule_trajectory(args.ref)
+    if (args.train_steps or args.schedule) and args.train_only:
+        return
     from types import SimpleNamespace
     opt = SimpleNamespace(
         heads={"hm": 2, "wh": 2, "params": 122}, depth=True, iterations=False,
