@@ -94,10 +94,15 @@ class MetricAccumulator:
         if jax.process_count() == 1:
             return self
         from jax.experimental import multihost_utils
+        # Exchange the float64 sums as raw bytes: jax's default x64-disabled
+        # mode would silently downcast a float64 allgather to f32, and the
+        # per-key sums reach ~1e7 on full splits (~1e-7 relative error,
+        # count becomes a float).  A uint8 view is exact under any jax mode.
         vec = np.array([self.sums[k] for k in self.KEYS] + [self.count],
-                       np.float32)
-        total = np.asarray(multihost_utils.process_allgather(vec),
-                           np.float64).sum(axis=0)
+                       np.float64)
+        rows = np.asarray(multihost_utils.process_allgather(
+            vec.view(np.uint8)))
+        total = rows.view(np.float64).sum(axis=0)
         self.sums = {k: float(total[i]) for i, k in enumerate(self.KEYS)}
         self.count = float(total[len(self.KEYS)])
 

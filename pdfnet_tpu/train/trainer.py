@@ -217,8 +217,15 @@ class Trainer:
             # Shard the eval batch over the data mesh whenever it divides
             # evenly (the reference evaluates on rank 0 only;
             # GSPMD-parallel eval is free here since the state is already
-            # replicated).  Multi-process setups keep per-process arrays:
-            # every process runs the same replicated eval (trainer.fit).
+            # replicated).  Multi-process setups stripe the eval split over
+            # processes (fit/CLI pass process-striped batch iterators) and
+            # keep per-process arrays here; partial accumulators merge via
+            # MetricAccumulator.all_reduce.  INVARIANT: eval_step must stay
+            # free of cross-process collectives — per-process batch COUNTS
+            # can differ when the split size is not divisible by
+            # process_count, so any in-step collective would deadlock on the
+            # tail batches.  all_reduce (called once, by every process) is
+            # the only synchronization point.
             bs = batch["input"].shape[0]
             if jax.process_count() == 1 and bs % self.mesh.size == 0:
                 jb = mesh_lib.shard_batch(dict(batch), self.mesh,
