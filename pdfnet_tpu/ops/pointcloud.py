@@ -32,11 +32,12 @@ def _choose_one_hand(depth_masked: jax.Array, key: jax.Array,
                      recall_target: float = 0.9):
     """Select ``num_points`` in-band pixel indices from (HW,) masked depth.
 
-    Returns (choose (num_points,) int32, ok scalar bool).  Pure index
-    selection — backprojection happens at the chosen pixels only (the
-    serving-path profile showed materializing + gathering the full 147k x 3
-    xyz map per hand cost ~6 ms/step at batch 96; lifting 1024 rays is
-    equivalent math on 0.7% of the pixels).
+    Returns (choose (num_points,) int32, z (num_points,) f32 — the masked
+    depth at those pixels — and ok scalar bool).  Pure index selection —
+    backprojection happens at the chosen pixels only (the serving-path
+    profile showed materializing + gathering the full 147k x 3 xyz map per
+    hand cost ~6 ms/step at batch 96; lifting 1024 rays is equivalent math
+    on 0.7% of the pixels).
     """
     z = depth_masked
     nonzero = z != 0.0
@@ -82,11 +83,22 @@ def _choose_one_hand(depth_masked: jax.Array, key: jax.Array,
         n_eff = (vals > 2.0).sum()     # selected entries form a prefix
     pos = jnp.arange(num_points)
     wrapped = jnp.where(pos < n_eff, pos, pos % jnp.maximum(n_eff, 1))
-    choose = order[wrapped]
+    # Gather depth at the raw order FIRST, then wrap indices and depths in
+    # ONE (N, 2)-row gather.  TPU scattered gathers cost ~10 ns/element
+    # regardless of source size (the batch-96 serving profile showed
+    # order[wrapped] and a later z[choose] as two ~1 ms/step ops each);
+    # z[order[wrapped]] == z[order][wrapped] and order values < 2^24 are
+    # exact in f32, so fusing the pair into one gather halves that cost
+    # bit-identically.
+    z_all = depth_masked[order]
+    pair = jnp.stack([order.astype(jnp.float32), z_all], axis=-1)  # (N, 2)
+    picked = pair[wrapped]
+    choose = picked[:, 0].astype(jnp.int32)
+    z = picked[:, 1]
 
     ok = (n_valid >= min_pixels)
-    choose = jnp.where(ok, choose, 0).astype(jnp.int32)
-    return choose, ok
+    choose = jnp.where(ok, choose, 0)
+    return choose, z, ok
 
 
 def _backproject_at(choose: jax.Array, z: jax.Array, K_inv: jax.Array,
@@ -143,10 +155,10 @@ def depth_to_hand_clouds(
         out_c, out_p, out_ok = [], [], []
         for h in range(2):
             dm_flat = jnp.where(m[..., h], d, 0.0).reshape(-1)
-            c, ok = _choose_one_hand(dm_flat, kk[h], num_points,
-                                     min_pixels, deterministic,
-                                     recall_target)
-            p = jnp.where(ok, _backproject_at(c, dm_flat[c], ki, W), 0.0)
+            c, z, ok = _choose_one_hand(dm_flat, kk[h], num_points,
+                                        min_pixels, deterministic,
+                                        recall_target)
+            p = jnp.where(ok, _backproject_at(c, z, ki, W), 0.0)
             if with_normals:
                 # Normals need the 5x5 plane-fit neighborhood, so this
                 # (non-default) path still lifts the full map.
