@@ -119,6 +119,12 @@ class Config:
     # cross-framework train parity — batch statistics at random init
     # amplify f32 noise chaotically, see PARITY.md)
     freeze_bn_stats: bool = False
+    # ZeRO-1-style optimizer-state sharding (beyond the reference, which
+    # replicates torch-Adam state per DDP rank): Adam's mu/nu leading axes
+    # shard over the data mesh — 1/mesh-size the optimizer HBM — and GSPMD
+    # inserts the update collectives.  Step-for-step identical to the
+    # replicated layout (tests/test_zero1.py); params/BN stay replicated.
+    zero1_opt_sharding: bool = False
 
     # ---- pointnet ---------------------------------------------------------
     sample_num: int = 1024            # SAMPLE_NUM

@@ -1,5 +1,7 @@
 from pdfnet_tpu.parallel.mesh import (  # noqa: F401
     make_mesh,
-    shard_batch,
+    place_state,
     replicate,
+    shard_batch,
+    zero1_state_shardings,
 )

@@ -61,7 +61,14 @@ def create_train_state(cfg: Config, model: HandNet, rng: jax.Array,
 
 
 def make_train_step(cfg: Config, model: HandNet, consts: LossConsts,
-                    donate: bool = True):
+                    donate: bool = True, state_sharding=None):
+    """``state_sharding`` (optional): a TrainState-shaped pytree of
+    NamedShardings pinning the OUTPUT state's layout — e.g.
+    ``parallel.mesh.zero1_state_shardings`` for ZeRO-1-style optimizer-state
+    sharding over the data axis (Adam moments sharded, params/BN replicated;
+    GSPMD inserts the update all-gathers).  Without it XLA is free to pick,
+    which can silently re-replicate a sharded optimizer state after one
+    step."""
     tx = make_optimizer(cfg)
 
     groups = max(int(getattr(cfg, "bn_stat_groups", 0) or 0), 0)
@@ -126,6 +133,9 @@ def make_train_step(cfg: Config, model: HandNet, consts: LossConsts,
         return new_state, stats
 
     donate_argnums = (0,) if donate else ()
+    if state_sharding is not None:
+        return jax.jit(train_step, donate_argnums=donate_argnums,
+                       out_shardings=(state_sharding, None))
     return jax.jit(train_step, donate_argnums=donate_argnums)
 
 

@@ -96,8 +96,25 @@ class Trainer:
         else:
             self.state = create_train_state(self.cfg, self.model,
                                             jax.random.PRNGKey(seed), batch)
-        self.state = mesh_lib.replicate(self.state, self.mesh)
+        self._place_state()
         return self.state
+
+    def _place_state(self) -> None:
+        """Put the freshly created/restored state onto the mesh: fully
+        replicated by default; with ``Config.zero1_opt_sharding`` the Adam
+        moments are sharded over the data axis (ZeRO-1 — 1/mesh-size the
+        optimizer HBM, GSPMD inserts the update collectives) and the train
+        step is rebuilt with matching out_shardings so the layout persists
+        across steps (tests/test_zero1.py pins step-for-step equality with
+        the replicated layout)."""
+        if (not self.is_csp) and self.cfg.zero1_opt_sharding:
+            sh = mesh_lib.zero1_state_shardings(self.state, self.mesh,
+                                                self.cfg.data_axis)
+            self.state = mesh_lib.place_state(self.state, sh)
+            self.train_step = make_train_step(self.cfg, self.model,
+                                              self.consts, state_sharding=sh)
+        else:
+            self.state = mesh_lib.replicate(self.state, self.mesh)
 
     def run_epoch(self, epoch: int, batches: Iterable[Dict[str, np.ndarray]],
                   logger: Optional[Logger] = None,
@@ -294,7 +311,7 @@ class Trainer:
     def load(self, path: str, resume_optimizer: bool = True) -> int:
         self.state, epoch = ckpt_lib.load_checkpoint(path, jax.device_get(self.state),
                                                      resume_optimizer)
-        self.state = mesh_lib.replicate(self.state, self.mesh)
+        self._place_state()
         return epoch
 
 

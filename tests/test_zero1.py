@@ -1,0 +1,111 @@
+"""ZeRO-1-style optimizer-state sharding on the virtual 8-device CPU mesh.
+
+Beyond the reference (which replicates torch-Adam state per DDP rank,
+main.py:69-79): Adam's mu/nu are 2x the parameter bytes, and sharding their
+leading axis over the data mesh divides that HBM by the mesh size while
+GSPMD inserts the update collectives.  These tests pin (a) that the
+placement helper shards what it should, (b) that a train step under the
+sharded layout reproduces the replicated step's results, and (c) that the
+output state KEEPS the sharded layout (out_shardings), so the saving
+persists across steps instead of silently re-replicating.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from pdfnet_tpu.parallel import mesh as mesh_lib
+
+
+def _tiny_setup():
+    from pdfnet_tpu.config import Config
+    from pdfnet_tpu.data.synthetic import make_batch
+    from pdfnet_tpu.models import build_model
+    from pdfnet_tpu.train.loss import load_loss_consts
+    from pdfnet_tpu.train.step import create_train_state
+
+    cfg = Config(default_resolution=64, compute_dtype="float32",
+                 sample_num=64, sample_num_level1=32, sample_num_level2=8,
+                 knn_k=8, batch_size=8)
+    model = build_model(cfg)
+    consts = load_loss_consts()
+    batch = make_batch(cfg, 8, seed=0)
+    jb = {k: jnp.asarray(v) for k, v in batch.items()}
+    state = create_train_state(cfg, model, jax.random.PRNGKey(0), jb)
+    return cfg, model, consts, jb, state
+
+
+def test_zero1_step_matches_replicated():
+    from pdfnet_tpu.train.step import lr_at_epoch, make_train_step
+
+    cfg, model, consts, jb, state = _tiny_setup()
+    mesh = mesh_lib.make_mesh(8)
+    lr = jnp.asarray(lr_at_epoch(cfg, 0), jnp.float32)
+    rng = jax.random.PRNGKey(1)
+    sb = mesh_lib.shard_batch(jb, mesh)
+
+    # replicated baseline
+    step_rep = make_train_step(cfg, model, consts, donate=False)
+    s_rep = mesh_lib.replicate(state, mesh)
+    new_rep, stats_rep = step_rep(s_rep, sb, jnp.asarray(0), lr, rng)
+
+    # ZeRO-1: Adam moments sharded over the data axis
+    shardings = mesh_lib.zero1_state_shardings(state, mesh)
+    s_z1 = mesh_lib.place_state(state, shardings)
+
+    # the placement helper must actually shard the big moment tensors
+    n_sharded = 0
+    for leaf, sh in zip(jax.tree.leaves(s_z1.opt_state),
+                        jax.tree.leaves(shardings.opt_state)):
+        if sh.spec == P("data"):
+            n_sharded += 1
+            shard = leaf.addressable_shards[0].data
+            assert shard.shape[0] == leaf.shape[0] // 8
+    assert n_sharded > 10, "expected many sharded Adam moment tensors"
+
+    step_z1 = make_train_step(cfg, model, consts, donate=False,
+                              state_sharding=shardings)
+    new_z1, stats_z1 = step_z1(s_z1, sb, jnp.asarray(0), lr, rng)
+
+    np.testing.assert_allclose(float(stats_z1["loss"]),
+                               float(stats_rep["loss"]), rtol=1e-5)
+    # parameters after the update match the replicated step
+    flat_rep = jax.tree.leaves(new_rep.params)
+    flat_z1 = jax.tree.leaves(new_z1.params)
+    for a, b in zip(flat_rep, flat_z1):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-6, rtol=1e-6)
+    # the OUTPUT optimizer state keeps the sharded layout (out_shardings) —
+    # without it XLA can re-replicate after one step and the memory saving
+    # evaporates
+    for leaf, sh in zip(jax.tree.leaves(new_z1.opt_state),
+                        jax.tree.leaves(shardings.opt_state)):
+        assert leaf.sharding.is_equivalent_to(sh, leaf.ndim)
+    assert int(new_z1.step) == 1
+
+
+def test_zero1_sharding_helper_rules():
+    """Small / non-divisible leaves stay replicated; big divisible ones
+    shard on axis 0."""
+    import flax
+
+    @flax.struct.dataclass
+    class S:
+        params: dict
+        batch_stats: dict
+        opt_state: dict
+        step: jax.Array
+
+    mesh = mesh_lib.make_mesh(8)
+    s = S(params={"w": jnp.zeros((16, 16))},
+          batch_stats={},
+          opt_state={"mu": jnp.zeros((1024, 64)),     # big, divisible
+                     "scale": jnp.zeros((64,)),       # too small
+                     "odd": jnp.zeros((1023, 64))},   # not divisible
+          step=jnp.zeros((), jnp.int32))
+    sh = mesh_lib.zero1_state_shardings(s, mesh)
+    assert sh.opt_state["mu"].spec == P("data")
+    assert sh.opt_state["scale"].spec == P()
+    assert sh.opt_state["odd"].spec == P()
+    assert sh.params["w"].spec == P()
