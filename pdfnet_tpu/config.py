@@ -119,6 +119,15 @@ class Config:
     # cross-framework train parity — batch statistics at random init
     # amplify f32 noise chaotically, see PARITY.md)
     freeze_bn_stats: bool = False
+    # Gradient accumulation (beyond the reference): the train step scans
+    # over batch_size/grad_accum_steps-row chunks, summing gradients, and
+    # applies ONE optimizer update with the full-batch mean gradient —
+    # peak activation memory scales with the chunk, so effective batch
+    # sizes beyond HBM become reachable.  Exactly the one-shot full-batch
+    # gradient under frozen BN (tests/test_grad_accum.py); with live BN
+    # each chunk normalizes with stats carried from the previous chunk.
+    # Mutually exclusive with bn_stat_groups.
+    grad_accum_steps: int = 1
     # ZeRO-1-style optimizer-state sharding (beyond the reference, which
     # replicates torch-Adam state per DDP rank): Adam's mu/nu leading axes
     # shard over the data mesh — 1/mesh-size the optimizer HBM — and GSPMD

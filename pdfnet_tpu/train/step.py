@@ -73,10 +73,15 @@ def make_train_step(cfg: Config, model: HandNet, consts: LossConsts,
 
     groups = max(int(getattr(cfg, "bn_stat_groups", 0) or 0), 0)
 
+    accum = max(int(getattr(cfg, "grad_accum_steps", 1) or 1), 1)
+    if accum > 1 and groups > 1:
+        raise ValueError("grad_accum_steps and bn_stat_groups are mutually "
+                         "exclusive (both re-slice the batch axis)")
+
     def train_step(state: TrainState, batch: Dict[str, jax.Array],
                    epoch: jax.Array, lr: jax.Array, rng: jax.Array):
-        def fwd_loss(params, batch_g, rng_g):
-            variables = {"params": params, "batch_stats": state.batch_stats}
+        def fwd_loss(params, bn_stats, batch_g, rng_g):
+            variables = {"params": params, "batch_stats": bn_stats}
             (result, p_dict, hand_dicts, other), mutated = model.apply(
                 variables, batch_g["input"], batch_g["choose"],
                 batch_g["cloud"], batch_g["depth"], batch_g["ind"],
@@ -89,7 +94,7 @@ def make_train_step(cfg: Config, model: HandNet, consts: LossConsts,
 
         def loss_fn(params):
             if groups <= 1:
-                return fwd_loss(params, batch, rng)
+                return fwd_loss(params, state.batch_stats, batch, rng)
             # Per-replica BN emulation (Config.bn_stat_groups): vmap the
             # forward+loss over G equal batch slices.  Each slice's
             # BatchNorms see only batch/G rows — exactly G DDP workers
@@ -105,13 +110,57 @@ def make_train_step(cfg: Config, model: HandNet, consts: LossConsts,
                   for k, v in batch.items() if per_sample(v)}
             fixed = {k: v for k, v in batch.items() if not per_sample(v)}
             losses, (stats, bs) = jax.vmap(
-                lambda b, r: fwd_loss(params, {**b, **fixed}, r))(
+                lambda b, r: fwd_loss(params, state.batch_stats,
+                                      {**b, **fixed}, r))(
                     gb, jax.random.split(rng, groups))
             stats = jax.tree.map(lambda x: x.mean(0), stats)
             new_bs = jax.tree.map(lambda x: x[0], bs)
             return losses.mean(), (stats, new_bs)
 
-        grads, (stats, new_bs) = jax.grad(loss_fn, has_aux=True)(state.params)
+        def grads_with_accum(params):
+            # Gradient accumulation (Config.grad_accum_steps, beyond the
+            # reference): scan over equal batch chunks, summing gradients
+            # against FIXED params — peak activation memory scales with
+            # batch/accum while the optimizer still sees the full-batch
+            # mean gradient.  With frozen BN this is exactly the one-shot
+            # full-batch gradient (mean-of-chunk-means == full mean,
+            # tests/test_grad_accum.py); with live BN each chunk normalizes
+            # with the running stats carried from the previous chunk
+            # (sequential mini-forwards — accum momentum applications per
+            # step, documented semantics).
+            B = batch["input"].shape[0]
+            if B % accum:
+                raise ValueError(f"batch {B} not divisible by "
+                                 f"grad_accum_steps={accum}")
+            chunk = B // accum
+            per_sample = lambda x: (getattr(x, "ndim", 0) >= 1
+                                    and x.shape[0] == B)
+            cb = {k: v.reshape((accum, chunk) + v.shape[1:])
+                  for k, v in batch.items() if per_sample(v)}
+            fixed = {k: v for k, v in batch.items() if not per_sample(v)}
+            rngs = jax.random.split(rng, accum)
+
+            def body(carry, inp):
+                bn_stats, gacc = carry
+                b_i, rng_i = inp
+                g, (stats_i, new_bn) = jax.grad(
+                    lambda p: fwd_loss(p, bn_stats, {**b_i, **fixed}, rng_i),
+                    has_aux=True)(params)
+                gacc = jax.tree.map(jnp.add, gacc, g)
+                return (new_bn, gacc), stats_i
+
+            zero = jax.tree.map(jnp.zeros_like, params)
+            (new_bn, gsum), stats_seq = jax.lax.scan(
+                body, (state.batch_stats, zero), (cb, rngs))
+            grads = jax.tree.map(lambda g: g / accum, gsum)
+            stats = jax.tree.map(lambda x: x.mean(0), stats_seq)
+            return grads, stats, new_bn
+
+        if accum > 1:
+            grads, stats, new_bs = grads_with_accum(state.params)
+        else:
+            grads, (stats, new_bs) = jax.grad(loss_fn,
+                                              has_aux=True)(state.params)
         opt_state = state.opt_state
         opt_state.hyperparams["learning_rate"] = lr
         updates, new_opt = tx.update(grads, opt_state, state.params)
