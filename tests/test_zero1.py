@@ -85,6 +85,46 @@ def test_zero1_step_matches_replicated():
     assert int(new_z1.step) == 1
 
 
+def test_zero1_composes_with_grad_accum():
+    """The two batch-axis features are orthogonal: gradient accumulation
+    re-slices the batch inside the step, ZeRO-1 re-lays-out the optimizer
+    state across devices — one step with both active must reproduce the
+    plain replicated step's loss and keep the sharded layout."""
+    from pdfnet_tpu.train.step import lr_at_epoch, make_train_step
+
+    cfg, model, consts, jb, state = _tiny_setup()
+    mesh = mesh_lib.make_mesh(8)
+    lr = jnp.asarray(lr_at_epoch(cfg, 0), jnp.float32)
+    rng = jax.random.PRNGKey(1)
+    sb = mesh_lib.shard_batch(jb, mesh)
+
+    # frozen BN + zero dropout on BOTH sides: the accumulated mean loss is
+    # then mathematically the one-shot full-batch loss (test_grad_accum),
+    # so replicated-one-shot vs zero1-accumulated must agree tightly.
+    # freeze_bn_stats is baked into the model at build time (bn_frozen on
+    # the modules), so the model must be REBUILT with the frozen config —
+    # passing cfg_f to make_train_step alone leaves live BN, and live-BN
+    # chunks normalize with chunk statistics (measured 4.3% loss shift).
+    from pdfnet_tpu.models import build_model
+    cfg_f = cfg.replace(freeze_bn_stats=True, dropout=0.0)
+    model = build_model(cfg_f)
+    step_rep = make_train_step(cfg_f, model, consts, donate=False)
+    _, stats_rep = step_rep(mesh_lib.replicate(state, mesh), sb,
+                            jnp.asarray(0), lr, rng)
+
+    cfg2 = cfg_f.replace(grad_accum_steps=2)
+    shardings = mesh_lib.zero1_state_shardings(state, mesh)
+    step_both = make_train_step(cfg2, model, consts, donate=False,
+                                state_sharding=shardings)
+    new, stats = step_both(mesh_lib.place_state(state, shardings), sb,
+                           jnp.asarray(0), lr, rng)
+    np.testing.assert_allclose(float(stats["loss"]),
+                               float(stats_rep["loss"]), rtol=1e-5)
+    for leaf, sh in zip(jax.tree.leaves(new.opt_state),
+                        jax.tree.leaves(shardings.opt_state)):
+        assert leaf.sharding.is_equivalent_to(sh, leaf.ndim)
+
+
 def test_zero1_sharding_helper_rules():
     """Small / non-divisible leaves stay replicated; big divisible ones
     shard on axis 0."""
