@@ -121,11 +121,16 @@ class Config:
     freeze_bn_stats: bool = False
     # Gradient accumulation (beyond the reference): the train step scans
     # over batch_size/grad_accum_steps-row chunks, summing gradients, and
-    # applies ONE optimizer update with the full-batch mean gradient —
-    # peak activation memory scales with the chunk, so effective batch
-    # sizes beyond HBM become reachable.  Exactly the one-shot full-batch
-    # gradient under frozen BN (tests/test_grad_accum.py); with live BN
-    # each chunk normalizes with stats carried from the previous chunk.
+    # applies ONE optimizer update with the mean-of-chunk gradients — peak
+    # activation memory scales with the chunk, so effective batch sizes
+    # beyond HBM become reachable.  Equals the one-shot full-batch
+    # gradient under frozen BN for the per-sample-mean loss terms
+    # (tests/test_grad_accum.py); terms normalized by a batch-dependent
+    # VALID COUNT (the --off/wh RegL1 terms, train/loss.py reg_l1_loss)
+    # weight chunks by their own counts, so chunks with unequal valid-hand
+    # counts reweight those terms slightly (standard accumulation
+    # semantics, same as averaging losses across DDP workers).  With live
+    # BN each chunk normalizes with stats carried from the previous chunk.
     # Mutually exclusive with bn_stat_groups.
     grad_accum_steps: int = 1
     # ZeRO-1-style optimizer-state sharding (beyond the reference, which

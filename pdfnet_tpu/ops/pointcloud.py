@@ -87,14 +87,20 @@ def _choose_one_hand(depth_masked: jax.Array, key: jax.Array,
     # ONE (N, 2)-row gather.  TPU scattered gathers cost ~10 ns/element
     # regardless of source size (the batch-96 serving profile showed
     # order[wrapped] and a later z[choose] as two ~1 ms/step ops each);
-    # z[order[wrapped]] == z[order][wrapped] and order values < 2^24 are
-    # exact in f32, so fusing the pair into one gather halves that cost
-    # bit-identically.
+    # z[order[wrapped]] == z[order][wrapped], so fusing the pair into one
+    # gather halves that cost bit-identically.  The index rides in an f32
+    # lane, exact only below 2^24 — 384^2 = 147k qualifies with a wide
+    # margin; maps with >= 2^24 pixels keep two separate gathers instead
+    # of silently rounding pixel indices.
     z_all = depth_masked[order]
-    pair = jnp.stack([order.astype(jnp.float32), z_all], axis=-1)  # (N, 2)
-    picked = pair[wrapped]
-    choose = picked[:, 0].astype(jnp.int32)
-    z = picked[:, 1]
+    if depth_masked.size < 2 ** 24:
+        pair = jnp.stack([order.astype(jnp.float32), z_all], axis=-1)
+        picked = pair[wrapped]                                   # (N, 2)
+        choose = picked[:, 0].astype(jnp.int32)
+        z = picked[:, 1]
+    else:
+        choose = order[wrapped]
+        z = z_all[wrapped]
 
     ok = (n_valid >= min_pixels)
     choose = jnp.where(ok, choose, 0)

@@ -140,6 +140,27 @@ def make_mesh_2d(data: int, model: int, data_axis: str = "data",
     return Mesh(devices, (data_axis, model_axis))
 
 
+def gather_to_host(tree: Any, mesh: Mesh) -> Any:
+    """``jax.device_get`` with cross-process support.
+
+    Leaves sharded over non-addressable devices (e.g. ZeRO-1 optimizer
+    moments spanning a multi-host mesh) cannot be fetched directly —
+    device_get raises.  Such trees are first collectively resharded to
+    replicated (a jitted identity with replicated out_shardings; GSPMD
+    inserts the all-gathers), then fetched.  COLLECTIVE when any leaf is
+    non-addressable: every process must call it, and the all-gather is the
+    barrier.  Fully-addressable trees (single-process, or replicated
+    multi-host state) skip straight to device_get — no collective, safe to
+    call from any subset of processes.
+    """
+    leaves = jax.tree.leaves(tree)
+    if any(isinstance(l, jax.Array) and not l.is_fully_addressable
+           for l in leaves):
+        rep = NamedSharding(mesh, P())
+        tree = jax.jit(lambda t: t, out_shardings=rep)(tree)
+    return jax.device_get(tree)
+
+
 def zero1_state_shardings(state: Any, mesh: Mesh, data_axis: str = "data",
                           min_elems: int = 2 ** 14) -> Any:
     """ZeRO-1-style placement for a TrainState: optimizer moments sharded

@@ -121,13 +121,17 @@ def make_train_step(cfg: Config, model: HandNet, consts: LossConsts,
             # Gradient accumulation (Config.grad_accum_steps, beyond the
             # reference): scan over equal batch chunks, summing gradients
             # against FIXED params — peak activation memory scales with
-            # batch/accum while the optimizer still sees the full-batch
-            # mean gradient.  With frozen BN this is exactly the one-shot
-            # full-batch gradient (mean-of-chunk-means == full mean,
-            # tests/test_grad_accum.py); with live BN each chunk normalizes
-            # with the running stats carried from the previous chunk
-            # (sequential mini-forwards — accum momentum applications per
-            # step, documented semantics).
+            # batch/accum while the optimizer sees the mean-of-chunk
+            # gradients.  With frozen BN this equals the one-shot
+            # full-batch gradient for per-sample-mean loss terms
+            # (mean-of-chunk-means == full mean, tests/test_grad_accum.py);
+            # count-normalized terms (reg_l1_loss's sum/valid_count on the
+            # --off/wh heads) divide by each chunk's own count, so unequal
+            # valid counts across chunks reweight those terms slightly —
+            # the same semantics as loss-averaging DDP workers.  With live
+            # BN each chunk normalizes with the running stats carried from
+            # the previous chunk (sequential mini-forwards — accum momentum
+            # applications per step, documented semantics).
             B = batch["input"].shape[0]
             if B % accum:
                 raise ValueError(f"batch {B} not divisible by "

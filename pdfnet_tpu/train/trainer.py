@@ -107,6 +107,11 @@ class Trainer:
         step is rebuilt with matching out_shardings so the layout persists
         across steps (tests/test_zero1.py pins step-for-step equality with
         the replicated layout)."""
+        if self.is_csp and self.cfg.zero1_opt_sharding:
+            raise ValueError(
+                "zero1_opt_sharding is only wired for the flagship HandNet "
+                "trainer; the CSP alternate detector would silently "
+                "replicate — drop the flag or use the HandNet arch")
         if (not self.is_csp) and self.cfg.zero1_opt_sharding:
             sh = mesh_lib.zero1_state_shardings(self.state, self.mesh,
                                                 self.cfg.data_axis)
@@ -304,12 +309,21 @@ class Trainer:
                     os.path.join(vis_dir, f"gt_hands_{side}{file_id}.obj"),
                     gt[hand], faces[side])
 
-    def save(self, ckpt_dir: str, epoch: int) -> str:
-        return ckpt_lib.save_checkpoint(ckpt_dir, jax.device_get(self.state),
-                                        epoch)
+    def save(self, ckpt_dir: str, epoch: int) -> Optional[str]:
+        """Checkpoint the state; returns the path on process 0, None
+        elsewhere.  COLLECTIVE under zero1_opt_sharding in multi-process
+        runs (the cross-host moment shards are all-gathered before the
+        host fetch), so every process must call it — fit() does."""
+        host = mesh_lib.gather_to_host(self.state, self.mesh)
+        if jax.process_index() != 0:
+            return None
+        return ckpt_lib.save_checkpoint(ckpt_dir, host, epoch)
 
     def load(self, path: str, resume_optimizer: bool = True) -> int:
-        self.state, epoch = ckpt_lib.load_checkpoint(path, jax.device_get(self.state),
+        """Restore; collective like save (the template state is gathered
+        to host on every process, then the restored state is re-placed)."""
+        template = mesh_lib.gather_to_host(self.state, self.mesh)
+        self.state, epoch = ckpt_lib.load_checkpoint(path, template,
                                                      resume_optimizer)
         self._place_state()
         return epoch
@@ -372,7 +386,10 @@ def fit(cfg: Config, train_data, eval_data=None, log_dir: str = "outputs/logs",
                 with open(os.path.join(log_dir,
                                        f"{cfg.dataset}-val.txt"), "a") as f:
                     f.write(block)
-        if save_every > 0 and (epoch + 1) % save_every == 0 and pi == 0:
+        if save_every > 0 and (epoch + 1) % save_every == 0:
+            # all processes call save (collective gather under zero1);
+            # only process 0 writes and gets a path back
             path = trainer.save(ckpt_dir, epoch)
-            log(f"saved {path}")
+            if path:
+                log(f"saved {path}")
     return trainer

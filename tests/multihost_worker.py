@@ -68,6 +68,18 @@ def main():
                  "id": np.array([i % 3]), "frame_num": np.array([i])}
         return out, batch
 
+    # gather_to_host on a cross-process-sharded tree (the zero1 checkpoint
+    # path, trainer.save/load): each process holds 2 of 4 row-shards; the
+    # collective reshard must hand EVERY process the full value
+    from jax.sharding import NamedSharding, PartitionSpec
+    full = np.arange(4 * 3, dtype=np.float32).reshape(4, 3)
+    sharded = jax.make_array_from_process_local_data(
+        NamedSharding(mesh, PartitionSpec("data")), full[pid * 2:pid * 2 + 2],
+        full.shape)
+    assert not sharded.is_fully_addressable
+    host = mesh_lib.gather_to_host({"mu": sharded}, mesh)
+    np.testing.assert_array_equal(host["mu"], full)
+
     acc = MetricAccumulator()
     for i in range(pid, 10, 2):                     # this process's stripe
         out, batch = record(i)

@@ -4,8 +4,10 @@ Beyond the reference (no accumulation there): ``Config.grad_accum_steps=N``
 makes the train step scan N equal batch chunks against fixed parameters and
 apply one Adam update with the mean gradient, bounding peak activation
 memory at batch/N rows.  Under frozen BN the accumulated gradient is
-mathematically the full-batch gradient (mean-of-chunk-means == full-batch
-mean for the per-sample-mean loss).
+mathematically the full-batch gradient for per-sample-mean loss terms
+(mean-of-chunk-means == full-batch mean); count-normalized terms (the
+--off/wh RegL1 terms, off by default and off here) weight chunks by their
+own valid counts — DDP-loss-averaging semantics, noted in config.py.
 
 The gradient claim is asserted DIRECTLY on gradients (test 1) rather than
 on post-Adam parameters: Adam's first-step update is ~lr*sign(g), so any
